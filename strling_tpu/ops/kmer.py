@@ -1,0 +1,231 @@
+"""Batched repeat-unit detection — the TPU compute path for `extract`/`index`.
+
+The reference detects the repeat unit of one read at a time in Nim
+(src/strpkg/utils.nim:236-271, flagged "the bottleneck for run time",
+utils.nim:235). Here the same computation runs over a whole [B, L] batch of
+reads as one XLA program:
+
+  1. per-k (k=2..6) non-overlapping window codes with min-rotation
+     canonicalization (utils.nim:10-35) — vectorized base-4 dot products;
+  2. modal window code per read, reproducing the reference's running-argmax
+     tie-break (utils.nim:192-198) via an occurrence/total matrix instead of a
+     sequential histogram;
+  3. exact non-overlapping substring recount of the decoded modal kmer
+     (utils.nim:254) as a length-L masked scan;
+  4. the k-selection state machine with early exit (utils.nim:249-269),
+     vectorized over the batch with per-read thresholds;
+  5. homopolymer reduction (utils.nim:220-233,271).
+
+Float-sensitive thresholds (int(len*0.12/k), int(len*proportion/k)) are
+precomputed host-side in float64 so device logic is pure-integer and matches
+the Nim doubles bit-for-bit.
+
+Inputs are raw ASCII bytes, so non-ACGT bases behave exactly as in the
+reference: they 2-bit-encode via (b>>1)&3 for the kmer scan, but never match
+a decoded ACTG unit in the exact recount.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KS = (2, 3, 4, 5, 6)
+DECODE_ASCII = np.frombuffer(b"ACTG", dtype=np.uint8)
+
+
+def _window_min_rotation(codes: jnp.ndarray, lengths: jnp.ndarray, k: int):
+    """Min-rotation codes for non-overlapping width-k windows.
+
+    codes: [B, L] int32 in 0..3. Returns (wmin [B, W] int32, valid [B, W] bool)
+    where W = L // k and window j covers bases [j*k, (j+1)*k)
+    (utils.nim:10-35: windows at stride k, min over the k cyclic rotations).
+    """
+    B, L = codes.shape
+    W = L // k
+    w = codes[:, : W * k].reshape(B, W, k)
+    # rotation r value: sum_m w[..., (m + r) % k] * 4^(k-1-m)
+    weights = np.array([4 ** (k - 1 - m) for m in range(k)], dtype=np.int32)
+    vals = []
+    for r in range(k):
+        idx = [(m + r) % k for m in range(k)]
+        vals.append((w[:, :, idx] * weights).sum(axis=-1))
+    wmin = jnp.min(jnp.stack(vals, axis=-1), axis=-1)
+    win_end = (jnp.arange(W, dtype=jnp.int32) + 1) * k
+    valid = win_end[None, :] <= lengths[:, None]
+    return wmin, valid
+
+
+def _modal_code(wmin: jnp.ndarray, valid: jnp.ndarray):
+    """Modal window code with the reference tie-break.
+
+    Reference semantics (utils.nim:192-198): the winner is the code whose
+    final (maximal) count was reached first in window order. Equivalently:
+    among windows j that are the M-th occurrence of their code (occ == M,
+    total == M, M = max total), the smallest j wins.
+
+    Returns (code [B] int32, count [B] int32); code is -1 when no valid
+    windows (count==0), mirroring imax == -1 (utils.nim:210).
+    """
+    B, W = wmin.shape
+    eq = (wmin[:, :, None] == wmin[:, None, :]) & valid[:, :, None] & valid[:, None, :]
+    eqi = eq.astype(jnp.int32)
+    total = eqi.sum(axis=1)  # [B, W] total occurrences of code at window j
+    tril = (jnp.arange(W)[:, None] <= jnp.arange(W)[None, :]).astype(jnp.int32)
+    occ = (eqi * tril[None, :, :]).sum(axis=1)  # [B, W] occurrences up to j
+    M = jnp.max(jnp.where(valid, total, 0), axis=1)  # [B]
+    cand = valid & (total == M[:, None]) & (occ == M[:, None]) & (M[:, None] > 0)
+    jstar = jnp.argmax(cand, axis=1)  # first True
+    code = jnp.take_along_axis(wmin, jstar[:, None], axis=1)[:, 0]
+    code = jnp.where(M > 0, code, -1)
+    return code, M
+
+
+def _decode_ascii(code: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Decode [B] codes to [B, k] ASCII bytes; code -1 decodes as 'G'*k.
+
+    Matches Nim: imax = -1 becomes uint64 all-ones before decode
+    (utils.nim:197,246), and "ACTG"[3] == 'G'.
+    """
+    code = jnp.where(code < 0, (1 << (2 * k)) - 1, code)
+    shifts = np.array([2 * (k - 1 - m) for m in range(k)], dtype=np.int32)
+    digits = (code[:, None] >> shifts[None, :]) & 3
+    return jnp.asarray(DECODE_ASCII)[digits]
+
+
+def _exact_count(bases: jnp.ndarray, lengths: jnp.ndarray, kmer_ascii: jnp.ndarray, k: int):
+    """Non-overlapping occurrences of each read's kmer in its read.
+
+    Nim strutils.count semantics (utils.nim:254): greedy left-to-right scan
+    advancing by k after each match, by 1 otherwise.
+    """
+    B, L = bases.shape
+    # match[b, j]: kmer matches at offset j (within the read)
+    m = jnp.ones((B, L), dtype=bool)
+    for off in range(k):
+        shifted = jnp.pad(bases[:, off:], ((0, 0), (0, off)))
+        m = m & (shifted == kmer_ascii[:, off][:, None])
+    pos_ok = (jnp.arange(L, dtype=jnp.int32)[None, :] + k) <= lengths[:, None]
+    m = m & pos_ok
+
+    def step(carry, mj):
+        count, next_free, j = carry
+        can = mj & (j >= next_free)
+        count = count + can.astype(jnp.int32)
+        next_free = jnp.where(can, j + k, next_free)
+        return (count, next_free, j + 1), None
+
+    init = (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), jnp.int32(0))
+    (count, _, _), _ = jax.lax.scan(step, init, m.T)
+    return count
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _get_repeat_impl(bases, lengths, thresh_early, thresh_prop, L):
+    B = bases.shape[0]
+    codes = (bases.astype(jnp.int32) >> 1) & 3
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = pos < lengths[:, None]
+    n_count = ((bases == ord("N")) & in_read).sum(axis=1)
+    skip = n_count > 20  # utils.nim:238
+
+    kmer_counts, exact_counts, kmer_ascii_by_k, kmer_code_by_k = [], [], [], []
+    for k in KS:
+        wmin, valid = _window_min_rotation(codes, lengths, k)
+        code, cnt = _modal_code(wmin, valid)
+        ka = _decode_ascii(code, k)
+        ex = _exact_count(bases, lengths, ka, k)
+        kmer_counts.append(cnt)
+        exact_counts.append(ex)
+        kmer_ascii_by_k.append(ka)
+        kmer_code_by_k.append(code)
+
+    # k-selection state machine (utils.nim:243-269), vectorized
+    best = jnp.full(B, -1, jnp.int32)
+    done = jnp.zeros(B, bool)
+    res_ki = jnp.full(B, -1, jnp.int32)  # index into KS of the winning k
+    res_count = jnp.zeros(B, jnp.int32)
+    for ki, k in enumerate(KS):
+        cnt = kmer_counts[ki]
+        ex = exact_counts[ki]
+        score_est = cnt * k
+        gate1_fail = score_est <= best
+        newly_done = (~done) & gate1_fail & (cnt < thresh_early[:, ki])
+        proceed = (~done) & (~gate1_fail)
+        done = done | newly_done
+        score_ex = ex * k
+        upd = proceed & (score_ex >= best)
+        best = jnp.where(upd, score_ex, best)
+        set_res = upd & (ex > thresh_prop[:, ki])
+        res_ki = jnp.where(set_res, ki, res_ki)
+        res_count = jnp.where(set_res, ex, res_count)
+
+    # gather the winning kmer's ASCII into a fixed [B, 6] buffer
+    unit = jnp.zeros((B, 6), jnp.uint8)
+    for ki, k in enumerate(KS):
+        sel = (res_ki == ki)[:, None]
+        padded = jnp.pad(kmer_ascii_by_k[ki], ((0, 0), (0, 6 - k)))
+        unit = jnp.where(sel, padded, unit)
+    unit_len = jnp.where(res_ki >= 0, jnp.array(KS, jnp.int32)[jnp.maximum(res_ki, 0)], 0)
+
+    # homopolymer reduction (utils.nim:220-233,271)
+    first = unit[:, 0]
+    is_homo = res_ki >= 0
+    for i in range(1, 6):
+        col_active = jnp.arange(6)[i] < unit_len
+        is_homo = is_homo & (~col_active | (unit[:, i] == first))
+    mult = jnp.where(is_homo, unit_len, 1)
+    res_count = res_count * mult
+    unit_len = jnp.where(is_homo, jnp.minimum(unit_len, 1), unit_len)
+    keep = jnp.arange(6)[None, :] < unit_len[:, None]
+    unit = jnp.where(keep, unit, 0)
+
+    # N-heavy reads produce nothing (utils.nim:238)
+    res_count = jnp.where(skip, 0, res_count)
+    unit = jnp.where(skip[:, None], 0, unit)
+    unit_len = jnp.where(skip, 0, unit_len)
+    return unit, unit_len, res_count
+
+
+def _host_thresholds(lengths: np.ndarray, props: np.ndarray):
+    """float64 thresholds, exactly as Nim computes them (utils.nim:251,259)."""
+    lengths = lengths.astype(np.float64)
+    te = np.empty((len(lengths), len(KS)), np.int32)
+    tp = np.empty((len(lengths), len(KS)), np.int32)
+    for ki, k in enumerate(KS):
+        te[:, ki] = (lengths * 0.12 / float(k)).astype(np.int64).astype(np.int32)
+        tp[:, ki] = (lengths * props / float(k)).astype(np.int64).astype(np.int32)
+    return te, tp
+
+
+def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray, proportion_repeat: np.ndarray):
+    """Detect repeat units for a batch of reads.
+
+    Args:
+      bases: uint8 [B, L] ASCII bases, zero-padded.
+      lengths: int32 [B] read lengths.
+      proportion_repeat: float64 [B] per-read proportion threshold (the
+        reference varies this between the main read and soft-clip re-scans,
+        extract.nim:206-211,241-243).
+
+    Returns (unit uint8 [B, 6] ASCII zero-padded, unit_len int32 [B],
+    repeat_count int32 [B]) as numpy arrays.
+    """
+    bases = np.ascontiguousarray(bases, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    props = np.asarray(proportion_repeat, dtype=np.float64)
+    if props.ndim == 0:
+        props = np.full(len(lengths), float(props))
+    te, tp = _host_thresholds(lengths, props)
+    unit, unit_len, count = _get_repeat_impl(
+        jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp),
+        L=bases.shape[1],
+    )
+    return np.asarray(unit), np.asarray(unit_len), np.asarray(count)
+
+
+def units_to_strings(unit: np.ndarray, unit_len: np.ndarray) -> list[str]:
+    return [bytes(unit[i, : unit_len[i]]).decode() for i in range(len(unit_len))]
