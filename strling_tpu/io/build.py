@@ -1,0 +1,33 @@
+"""Build (and cache) the native host-ingest library libstrling_io.so."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "csrc")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+
+
+def lib_path() -> str:
+    """Compile csrc/strling_io.cc to a shared lib if needed; return its path."""
+    srcs = sorted(
+        os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR) if f.endswith(".cc")
+    )
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as fh:
+            h.update(fh.read())
+    tag = h.hexdigest()[:16]
+    out = os.path.join(_BUILD_DIR, f"libstrling_io-{tag}.so")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        *srcs, "-o", out + ".tmp", "-ldeflate", "-lz",
+    ]
+    subprocess.run(cmd, check=True)
+    os.replace(out + ".tmp", out)
+    return out
