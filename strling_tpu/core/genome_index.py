@@ -1,0 +1,197 @@
+"""Genome STR index: find repeat regions of the reference FASTA.
+
+Port of src/strpkg/genome_strs.nim. The window scan (100bp windows, step 60,
+genome_strs.nim:122-123) reuses the batched device repeat detector — on TPU a
+whole chromosome's windows go through one kernel invocation instead of the
+reference's per-window CPU loop (genome_strs.nim:61-92).
+
+The resulting bed ("chrom\\tstart\\tstop\\trepeat") feeds extract's
+skip-fast-path via per-chromosome sorted interval arrays (replacing the
+reference's Lapper interval trees, read_bed.nim:30-50).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+from strling_tpu.io.fasta import Fasta
+from strling_tpu.ops import oracle
+from strling_tpu.ops.kmer import get_repeat_batch, units_to_strings
+from strling_tpu.utils.options import Options
+
+WINDOW_SIZE = 100  # genome_strs.nim:122
+STEP = 60  # genome_strs.nim:123
+
+
+class Window:
+    __slots__ = ("chrom", "start", "stop", "repeat")
+
+    def __init__(self, chrom="", start=0, stop=-1, repeat=""):
+        self.chrom = chrom
+        self.start = start
+        self.stop = stop
+        self.repeat = repeat
+
+
+def _first_slide_code(s: str, k: int) -> int:
+    """First min-rotation window code of s (genome_strs.nim:27-29,50-52)."""
+    return oracle.slide_by(s, k)[0]
+
+
+def trim(w: Window, dna: str) -> Window:
+    """Trim a merged window to the first/last matching kmer
+    (genome_strs.nim:22-59)."""
+    assert len(dna) == w.stop - w.start
+    k = len(w.repeat)
+    expected = _first_slide_code(w.repeat, k)
+    # trim left: advance in steps of k on first-mismatching kmer
+    for enc in oracle.slide_by(dna, k):
+        if enc != expected:
+            w.start += k
+        else:
+            break
+    assert w.start < w.stop, f"repeat {w.repeat} not found in expected region"
+    # trim right: reverse both
+    dnar = dna[::-1]
+    rep_rev = w.repeat[::-1]
+    expected = _first_slide_code(rep_rev, k)
+    for enc in oracle.slide_by(dnar, k):
+        if enc != expected:
+            w.stop -= k
+        else:
+            break
+    assert w.start < w.stop, f"repeat {w.repeat} not found in expected region"
+    return w
+
+
+def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
+                   step: int = STEP, batch_windows: int = 4096):
+    """Yield merged, trimmed STR windows over every chromosome
+    (genome_strs.nim:61-92), with the per-window repeat detection batched
+    through the device kernel."""
+    for chrom in fai.names:
+        L = fai.chrom_len(chrom)
+        if L > 2_000_000:
+            print(
+                f"[strling] finding STR regions on reference chromosome: {chrom}",
+                file=sys.stderr,
+            )
+        chrom_seq = fai.get(chrom).upper()
+        starts = list(range(0, L, step))
+        # batch all windows through the kernel
+        units_all: list[str] = []
+        counts_all: list[int] = []
+        for b0 in range(0, len(starts), batch_windows):
+            chunk = starts[b0 : b0 + batch_windows]
+            bases = np.zeros((len(chunk), window_size), np.uint8)
+            lens = np.zeros(len(chunk), np.int32)
+            for i, s in enumerate(chunk):
+                seg = chrom_seq[s : min(L, s + window_size)].encode()
+                bases[i, : len(seg)] = np.frombuffer(seg, np.uint8)
+                lens[i] = len(seg)
+            unit, ulen, count = get_repeat_batch(
+                bases, lens, np.full(len(chunk), opts.proportion_repeat)
+            )
+            units_all.extend(units_to_strings(unit, ulen))
+            counts_all.extend(count.tolist())
+
+        last_w = Window(stop=-1)
+        for s, rep, cnt in zip(starts, units_all, counts_all):
+            if cnt > 0:
+                stop = min(L, s + window_size)
+                w = Window(chrom=chrom, start=s, stop=stop, repeat=rep)
+                # merge consecutive same-unit windows; allow skipping 1 window
+                if last_w.repeat != w.repeat or w.start > last_w.stop + (
+                    window_size - step
+                ):
+                    if last_w.stop != -1 and last_w.stop - last_w.start >= (
+                        window_size - step
+                    ):
+                        last_w.start = max(0, last_w.start - window_size)
+                        last_w.stop = min(last_w.stop + window_size, len(chrom_seq))
+                        yield trim(last_w, chrom_seq[last_w.start : last_w.stop])
+                    last_w = w
+                else:
+                    last_w.stop = w.stop
+        if last_w.stop != -1 and last_w.stop - last_w.start >= (window_size - step):
+            last_w.start = max(0, last_w.start - window_size)
+            last_w.stop = min(last_w.stop + window_size, len(chrom_seq))
+            yield trim(last_w, chrom_seq[last_w.start : last_w.stop])
+
+
+class GenomeIndex:
+    """Per-chromosome sorted interval arrays with prefix-max ends, replacing
+    the reference's Lapper trees for the extract fast path
+    (extract.nim:29-34)."""
+
+    def __init__(self, regions_by_chrom: dict[str, list[tuple[int, int]]]):
+        self.by_chrom: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for chrom, ivs in regions_by_chrom.items():
+            ivs = sorted(ivs)
+            starts = np.array([a for a, _ in ivs], np.int64)
+            ends = np.array([b for _, b in ivs], np.int64)
+            pmax = np.maximum.accumulate(ends)
+            self.by_chrom[chrom] = (starts, pmax)
+
+    def __contains__(self, chrom: str) -> bool:
+        return chrom in self.by_chrom
+
+    def overlaps(self, chrom: str, starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
+        """Vectorized: does [start, stop) of each query overlap any STR region?
+
+        Lapper.find semantics (iv.start < stop and iv.stop > start).
+        """
+        if chrom not in self.by_chrom:
+            return np.zeros(len(starts), bool)
+        s, pmax = self.by_chrom[chrom]
+        idx = np.searchsorted(s, stops, side="left")  # candidates: [0, idx)
+        out = np.zeros(len(starts), bool)
+        nz = idx > 0
+        out[nz] = pmax[idx[nz] - 1] > starts[nz]
+        return out
+
+
+def read_str_bed(path: str) -> GenomeIndex:
+    regions: dict[str, list[tuple[int, int]]] = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or line.startswith("track "):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3:
+                continue
+            regions.setdefault(parts[0], []).append((int(parts[1]), int(parts[2])))
+    return GenomeIndex(regions)
+
+
+def genome_repeats(fasta: str, opts: Options, bed_path: str) -> GenomeIndex:
+    """genome_strs.nim:107-141: build the .str bed if missing, then load it."""
+    is_tmp = bed_path in ("", None)
+    if is_tmp:
+        fd, bed_path = tempfile.mkstemp(suffix=".bed")
+        os.close(fd)
+        os.unlink(bed_path)
+    try:
+        if not os.path.exists(bed_path):
+            fai = Fasta(fasta)
+            n = 0
+            with open(bed_path, "w") as fh:
+                for w in repeat_windows(fai, opts):
+                    fh.write(f"{w.chrom}\t{w.start}\t{w.stop}\t{w.repeat}\n")
+                    n += 1
+            print(f"[strling] found {n} STR-like regions in the genome", file=sys.stderr)
+        else:
+            print(
+                f"[strling] using existing file {bed_path} for genome repeats",
+                file=sys.stderr,
+            )
+        gi = read_str_bed(bed_path)
+        print("[strling] got STR repeats from genome into an interval tree", file=sys.stderr)
+        return gi
+    finally:
+        if is_tmp and os.path.exists(bed_path):
+            os.unlink(bed_path)
