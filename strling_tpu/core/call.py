@@ -1,0 +1,197 @@
+"""`call` — genotype provided loci and novel clusters (src/strpkg/call.nim)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from strling_tpu.core.callclusters import TreadGroups, assign_reads_locus, bounds_checked
+from strling_tpu.core.cluster import (
+    BOUNDS_HEADER,
+    Bounds,
+    cluster,
+    parse_bed,
+    parse_bounds,
+)
+from strling_tpu.core.collect import spanners
+from strling_tpu.core.genotyper import GT_HEADER, Call, genotype, update_genotype
+from strling_tpu.io.bam import Bam
+from strling_tpu.io.binfmt import read_bin, same_targets
+from strling_tpu.ops.encode import canonical_repeat
+from strling_tpu.utils import fraglen
+from strling_tpu.utils.options import Options
+
+
+def oe_ratio(c: Call) -> np.float32:
+    """call.nim:32-35 (float32 arithmetic)."""
+    obs = np.float32(c.spanning_pairs)
+    exp = np.float32(c.expected_spanning_fragments)
+    return np.float32((np.float32(1) + obs - exp) / (exp + np.float32(1)))
+
+
+def add_percentile(genotypes_by_repeat: dict[str, list[Call]]):
+    """call.nim:38-47: global O/E percentile rank across all calls."""
+    oes = []
+    for calls in genotypes_by_repeat.values():
+        for c in calls:
+            oes.append(oe_ratio(c))
+    oes = np.sort(np.array(oes, np.float32))
+    for calls in genotypes_by_repeat.values():
+        for c in calls:
+            lb = int(np.searchsorted(oes, oe_ratio(c), side="left"))
+            # division by high == len-1 (call.nim:30); len==1 gives 0/0=nan
+            with np.errstate(invalid="ignore", divide="ignore"):
+                c.spanning_fragments_oe_percentile = np.float32(lb) / np.float32(
+                    len(oes) - 1
+                )
+
+
+def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
+             min_support: int = 5, min_clip: int = 0, min_clip_total: int = 0,
+             min_mapq: int = 40, loci: str | None = None,
+             bounds_path: str | None = None, output_prefix: str = "strling",
+             verbose: bool = False):
+    """call_main (call.nim:50-303)."""
+    if loci and not os.path.exists(loci):
+        raise SystemExit("couldn't open loci file")
+    if bounds_path and not os.path.exists(bounds_path):
+        raise SystemExit("couldn't open bounds file")
+
+    bam = Bam(bam_path)
+    frag_dist = fraglen.fragment_length_distribution(bam)
+    frag_median = fraglen.median(frag_dist)
+    if verbose:
+        print(f"Calculated median fragment length:{frag_median}", file=sys.stderr)
+
+    opts = Options(
+        median_fragment_length=frag_median, min_clip=min_clip,
+        min_clip_total=min_clip_total, min_support=min_support,
+        min_mapq=min_mapq, window=fraglen.median(frag_dist, 0.99),
+        targets=bam.targets,
+    )
+
+    extracted = read_bin(bin_path)
+    assert same_targets(extracted.targets, bam.targets)
+    groups = TreadGroups.from_batch(extracted.reads)
+
+    gt_fh = open(output_prefix + "-genotype.txt", "w")
+    bounds_fh = open(output_prefix + "-bounds.txt", "w")
+    unplaced_fh = open(output_prefix + "-unplaced.txt", "w")
+    bounds_fh.write(BOUNDS_HEADER + "\tdepth\n")
+    gt_fh.write(GT_HEADER + "\n")
+
+    loci_list: list[Bounds] = []
+    if loci:
+        loci_list = parse_bed(loci, opts.targets, opts.window)
+        print(f"Read {len(loci_list)} loci from {loci}", file=sys.stderr)
+
+    bounds_list: list[Bounds] = []
+    if bounds_path:
+        bounds_list = parse_bounds(bounds_path, opts.targets)
+        print(f"Read {len(bounds_list)} bounds from {bounds_path}", file=sys.stderr)
+
+    # merge loci and bounds, loci overwriting overlapping bounds (call.nim:170-183)
+    for bound in bounds_list:
+        for i, locus in enumerate(loci_list):
+            if locus.overlaps(bound):
+                bound.name = locus.name
+                bound.left = locus.left
+                bound.right = locus.right
+                del loci_list[i]
+                break
+    bounds_list.extend(loci_list)
+
+    unplaced_counts: dict[str, int] = {}
+    genotypes_by_repeat: dict[str, list[Call]] = {}
+
+    # PASS A — provided loci (call.nim:189-218)
+    for bound in bounds_list:
+        str_reads, str_qnames = assign_reads_locus(bound, groups)
+        if bound.right - bound.left > 1000:
+            print(f"large bounds:{bound} skipping", file=sys.stderr)
+            continue
+        spans, med_depth, expected = spanners(
+            bam, bound, opts.window, frag_dist, opts.min_mapq
+        )
+        if len(spans) > 5_000:
+            continue
+        if med_depth == -1:
+            continue
+        gt = genotype(bound, str_reads, str_qnames, spans, opts, float(med_depth))
+        gt.expected_spanning_fragments = expected
+        canon = canonical_repeat(bound.repeat)
+        genotypes_by_repeat.setdefault(canon, []).append(gt)
+        bounds_fh.write(bound.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
+
+    # PASS B — novel clusters (call.nim:221-262)
+    for (tid, repeat), (treads, names) in groups.items():
+        for c in cluster(treads, max_dist=opts.window,
+                         min_supporting_reads=opts.min_support, qnames=names):
+            if c.reads["tid"][0] == -1:
+                unplaced_counts[c.reads["repeat"][0].decode()] = len(c.reads)
+                continue
+            max_clip_dist = int(0.5 * float(fraglen.median(frag_dist, 0.5)))
+            b, good = bounds_checked(c, min_clip, min_clip_total, max_clip_dist)
+            if not good:
+                continue
+            spans, med_depth, expected = spanners(
+                bam, b, opts.window, frag_dist, opts.min_mapq
+            )
+            if len(spans) > 5_000:
+                continue
+            if med_depth == -1:
+                continue
+            gt = genotype(b, c.reads, c.qnames, spans, opts, float(med_depth))
+            gt.expected_spanning_fragments = expected
+            canon = canonical_repeat(b.repeat)
+            genotypes_by_repeat.setdefault(canon, []).append(gt)
+            bounds_fh.write(b.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
+
+    add_percentile(genotypes_by_repeat)
+
+    # unique-large-expansion refinement (call.nim:268-277; dead in practice —
+    # see genotyper.genotype's is_large note) then write genotypes
+    for repeat, genotypes in genotypes_by_repeat.items():
+        gt_expanded = []
+        for gt in genotypes:
+            if gt.is_large:
+                gt_expanded.append(gt)
+                if len(gt_expanded) > 1:
+                    break
+        if len(gt_expanded) == 1:
+            update_genotype(gt_expanded[0], unplaced_counts.get(repeat, 0))
+        for gt in genotypes:
+            gt_fh.write(gt.tostring() + "\n")
+
+    for repeat, count in unplaced_counts.items():
+        unplaced_fh.write(f"{repeat}\t{count}\n")
+
+    gt_fh.close()
+    bounds_fh.close()
+    unplaced_fh.close()
+    if verbose:
+        print(
+            f"wrote genotypes to {output_prefix}-genotype.txt", file=sys.stderr
+        )
+
+
+def call_main(argv):
+    p = argparse.ArgumentParser("strling call")
+    p.add_argument("-f", "--fasta", default="", help="path to fasta file")
+    p.add_argument("-m", "--min-support", type=int, default=5)
+    p.add_argument("-c", "--min-clip", type=int, default=0)
+    p.add_argument("-t", "--min-clip-total", type=int, default=0)
+    p.add_argument("-q", "--min-mapq", type=int, default=40)
+    p.add_argument("-l", "--loci", default="")
+    p.add_argument("-b", "--bounds", default="")
+    p.add_argument("-o", "--output-prefix", default="strling")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("bam")
+    p.add_argument("bin")
+    a = p.parse_args(argv)
+    run_call(a.bam, a.bin, a.fasta or None, a.min_support, a.min_clip,
+             a.min_clip_total, a.min_mapq, a.loci or None, a.bounds or None,
+             a.output_prefix, a.verbose)

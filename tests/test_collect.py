@@ -1,0 +1,126 @@
+"""Support-collection tests ported from reference tests/test_collect.nim."""
+
+import numpy as np
+
+from strling_tpu.core.cluster import Bounds
+from strling_tpu.core.collect import (
+    Support,
+    SupportType,
+    overlapping_read,
+    spanning_fragment,
+)
+from strling_tpu.core.spanning import cumulative, expected_spanning_probability
+from strling_tpu.io.bam import Target
+from strling_tpu.io.sam import record_from_string
+
+TARGETS = [Target(0, "chr1", 10000)]
+
+
+def test_overlapping_and_spanning_reads():
+    # test_collect.nim:8-45
+    a = record_from_string(
+        "read1\t0\tchr1\t1\t40\t25M5S\t*\t0\t0\t" + "A" * 30 + "\t*", TARGETS
+    )
+
+    s1 = Support()
+    b = Bounds(tid=0, left=50, right=100, repeat="A")
+    assert overlapping_read(a, b, s1) is False
+
+    s2 = Support()
+    b = Bounds(tid=0, left=5, right=15, repeat="AAAAAA")
+    assert overlapping_read(a, b, s2) is True
+    assert s2.Type == SupportType.OverlappingRead
+
+    s3 = Support()
+    b = Bounds(tid=0, left=6, right=15, repeat="AAAAAA")
+    assert overlapping_read(a, b, s3) is True
+    assert s3.Type == SupportType.SpanningRead
+
+    s4 = Support()
+    b = Bounds(tid=0, left=9, right=10, repeat="AAAAAA")
+    assert overlapping_read(a, b, s4) is True
+
+    s5 = Support()
+    b = Bounds(tid=0, left=10, right=11, repeat="AAAAAA")
+    assert overlapping_read(a, b, s5) is True
+    assert s5.Type == SupportType.SpanningRead
+
+
+def test_spanning_pair():
+    # test_collect.nim:47-73
+    targets = [Target(0, "chr1", 100000)]
+    a = record_from_string(
+        "read1\t99\tchr1\t1\t40\t15M5S\tchr1\t500\t0\t" + "A" * 20 + "\t*", targets
+    )
+    b = record_from_string(
+        "read1\t147\tchr1\t500\t40\t15M5S\tchr1\t1\t0\t" + "A" * 20 + "\t*", targets
+    )
+    frag = np.zeros(4096, np.uint32)
+
+    s = Support()
+    assert spanning_fragment(a, b, Bounds(tid=0, left=100, right=150, repeat="A"), s, frag)
+    assert spanning_fragment(a, b, Bounds(tid=0, left=450, right=513, repeat="A"), s, frag)
+    assert not spanning_fragment(a, b, Bounds(tid=0, left=512, right=513, repeat="A"), s, frag)
+
+
+def test_cumulative_and_expected_probability():
+    frag = np.zeros(4096, np.uint32)
+    frag[300:420] = 100
+    cd = cumulative(frag)
+    assert cd[-1] == 1.0
+    assert cd[0] == 0.0
+    # monotone
+    assert (np.diff(cd) >= 0).all()
+
+    # a forward read far left of the event: spanning probability is high when
+    # the distance is small relative to typical fragments
+    r = record_from_string(
+        "q\t99\tchr1\t101\t60\t100M\tchr1\t401\t400\t" + "A" * 100 + "\t*", TARGETS
+    )
+    p_near = expected_spanning_probability(cd, r, 150, 151)
+    assert p_near > 0.9
+    p_far = expected_spanning_probability(cd, r, 480, 481)
+    assert 0 <= p_far <= p_near
+    # reverse read left of event -> 0
+    r2 = record_from_string(
+        "q\t83\tchr1\t101\t60\t100M\tchr1\t401\t400\t" + "A" * 100 + "\t*", TARGETS
+    )
+    assert expected_spanning_probability(cd, r2, 150, 151) == 0.0
+
+
+def test_genotyper_spanning_read_est():
+    # tests/test_genotyper.nim:6-20
+    from strling_tpu.core.genotyper import spanning_read_est
+
+    reads = [
+        Support(Type=SupportType.SpanningRead, SpanningReadRepeatCount=10,
+                SpanningReadCigarInsertionLen=0, SpanningReadCigarDeletionLen=0,
+                repeat="AT"),
+        Support(Type=SupportType.SpanningRead, SpanningReadRepeatCount=10,
+                SpanningReadCigarInsertionLen=0, SpanningReadCigarDeletionLen=0,
+                repeat="AT"),
+        Support(Type=SupportType.SpanningRead, SpanningReadRepeatCount=10,
+                SpanningReadCigarInsertionLen=0, SpanningReadCigarDeletionLen=0,
+                repeat="AT"),
+        Support(Type=SupportType.SpanningRead, SpanningReadRepeatCount=9,
+                SpanningReadCigarInsertionLen=0, SpanningReadCigarDeletionLen=2,
+                repeat="AT"),
+    ]
+    est = spanning_read_est(reads)
+    assert est.repeat == "AT"
+    assert est.allele1_bp == 0.0
+    assert est.allele2_bp == -2.0
+    assert est.allele1_ru == 10.0
+    assert est.allele2_ru == 9.0
+
+
+def test_genotyper_anchored_lm():
+    from strling_tpu.core.genotyper import anchored_lm
+
+    assert anchored_lm(0, 30.0) != anchored_lm(0, 30.0)  # NaN
+    # reference constants (genotyper.nim:121-124)
+    import math
+
+    v = anchored_lm(100, 30.0)
+    y = math.log2(100 / 30.0 + 1) * 0.7565329 + 4.3558142
+    assert abs(v - 2 ** y) < 1e-9
