@@ -27,8 +27,6 @@ a decoded ACTG unit in the exact recount.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,9 +121,13 @@ def _exact_count(bases: jnp.ndarray, lengths: jnp.ndarray, kmer_ascii: jnp.ndarr
     return count
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _get_repeat_impl(bases, lengths, thresh_early, thresh_prop, L):
-    B = bases.shape[0]
+def get_repeat_device(bases, lengths, thresh_early, thresh_prop):
+    """Traceable device kernel (shard_map-able). Shapes: bases [B, L] uint8,
+    lengths [B] i32, thresh_* [B, 5] i32 (host-precomputed float64 floors).
+
+    Returns (unit_ascii [B,6] u8, unit_len [B] i32, repeat_count [B] i32).
+    """
+    B, L = bases.shape
     codes = (bases.astype(jnp.int32) >> 1) & 3
     pos = jnp.arange(L, dtype=jnp.int32)[None, :]
     in_read = pos < lengths[:, None]
@@ -190,6 +192,9 @@ def _get_repeat_impl(bases, lengths, thresh_early, thresh_prop, L):
     return unit, unit_len, res_count
 
 
+_get_repeat_jit = jax.jit(get_repeat_device)
+
+
 def _host_thresholds(lengths: np.ndarray, props: np.ndarray):
     """float64 thresholds, exactly as Nim computes them (utils.nim:251,259)."""
     lengths = lengths.astype(np.float64)
@@ -220,9 +225,8 @@ def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray, proportion_repeat: 
     if props.ndim == 0:
         props = np.full(len(lengths), float(props))
     te, tp = _host_thresholds(lengths, props)
-    unit, unit_len, count = _get_repeat_impl(
-        jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp),
-        L=bases.shape[1],
+    unit, unit_len, count = _get_repeat_jit(
+        jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
     )
     return np.asarray(unit), np.asarray(unit_len), np.asarray(count)
 
