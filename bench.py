@@ -20,6 +20,9 @@ NIM_BASELINE_READS_PER_SEC = 70_000.0
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from strling_tpu.ops.kmer import _host_thresholds, get_repeat_device
 
     B, L = 32768, 152
@@ -42,18 +45,25 @@ def main():
 
     fn = jax.jit(get_repeat_device)
     # warmup/compile. NOTE: on the tunneled axon platform block_until_ready
-    # does not actually wait, so all timing syncs go through a host fetch.
+    # does not actually wait, so all timing syncs go through a host fetch,
+    # and each fetch costs a fixed ~30ms tunnel round trip. Per-batch device
+    # time is therefore measured as the slope between a short and a long
+    # pipelined dispatch chain (the fixed latency cancels).
     out = fn(bases, lengths, te_d, tp_d)
     np.asarray(out[2])
 
-    iters = 20
-    t0 = time.perf_counter()
-    outs = [fn(bases, lengths, te_d, tp_d) for _ in range(iters)]
-    for o in outs:
-        np.asarray(o[2])  # sync every dispatch
-    dt = time.perf_counter() - t0
+    def run(iters: int) -> float:
+        t0 = time.perf_counter()
+        outs = [fn(bases, lengths, te_d, tp_d) for _ in range(iters)]
+        np.asarray(outs[-1][2])
+        return time.perf_counter() - t0
 
-    reads_per_sec = B * iters / dt
+    run(2)  # warm
+    n1, n2 = 5, 25
+    t1 = min(run(n1) for _ in range(3))
+    t2 = min(run(n2) for _ in range(3))
+    per_batch = max(1e-9, (t2 - t1) / (n2 - n1))
+    reads_per_sec = B / per_batch
     print(
         json.dumps(
             {
@@ -65,7 +75,7 @@ def main():
         )
     )
     print(
-        f"# device={dev.platform} B={B} L={L} iters={iters} wall={dt:.3f}s",
+        f"# device={dev.platform} B={B} L={L} per_batch={per_batch*1e3:.2f}ms",
         file=sys.stderr,
     )
 
