@@ -43,7 +43,12 @@ def main():
     te_d = jax.device_put(te, dev)
     tp_d = jax.device_put(tp, dev)
 
-    fn = jax.jit(get_repeat_device)
+    if jax.default_backend() == "cpu":
+        fn = jax.jit(get_repeat_device)
+    else:
+        from strling_tpu.ops.kmer_pallas import get_repeat_device_pallas
+
+        fn = jax.jit(get_repeat_device_pallas)
     # warmup/compile. NOTE: on the tunneled axon platform block_until_ready
     # does not actually wait, so all timing syncs go through a host fetch,
     # and each fetch costs a fixed ~30ms tunnel round trip. Per-batch device

@@ -213,7 +213,24 @@ def _host_thresholds(lengths: np.ndarray, props: np.ndarray):
     return te, tp
 
 
-def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray, proportion_repeat: np.ndarray):
+def codes_to_ascii(code: np.ndarray, unit_len: np.ndarray) -> np.ndarray:
+    """Vectorized base-4 packed code -> [B, 6] ASCII (zero-padded)."""
+    B = len(code)
+    out = np.zeros((B, 6), np.uint8)
+    dec = np.frombuffer(b"ACTG", np.uint8)
+    for i in range(6):
+        shift = 2 * (unit_len - 1 - i)
+        digit = (code >> np.maximum(shift, 0)) & 3
+        out[:, i] = np.where(i < unit_len, dec[digit], 0)
+    return out
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray,
+                     proportion_repeat: np.ndarray, backend: str = "auto"):
     """Detect repeat units for a batch of reads.
 
     Args:
@@ -222,6 +239,7 @@ def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray, proportion_repeat: 
       proportion_repeat: float64 [B] per-read proportion threshold (the
         reference varies this between the main read and soft-clip re-scans,
         extract.nim:206-211,241-243).
+      backend: "auto" (pallas on TPU, XLA on CPU), "xla", or "pallas".
 
     Returns (unit uint8 [B, 6] ASCII zero-padded, unit_len int32 [B],
     repeat_count int32 [B]) as numpy arrays.
@@ -232,6 +250,15 @@ def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray, proportion_repeat: 
     if props.ndim == 0:
         props = np.full(len(lengths), float(props))
     te, tp = _host_thresholds(lengths, props)
+    if backend == "pallas" or (backend == "auto" and _use_pallas()):
+        from strling_tpu.ops.kmer_pallas import _pallas_jit
+
+        code, unit_len, count = _pallas_jit(
+            jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
+        )
+        code = np.asarray(code)
+        unit_len = np.asarray(unit_len)
+        return codes_to_ascii(code, unit_len), unit_len, np.asarray(count)
     unit, unit_len, count = _get_repeat_jit(
         jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
     )

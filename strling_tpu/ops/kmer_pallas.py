@@ -1,0 +1,248 @@
+"""Pallas TPU kernel for the repeat-unit scan.
+
+Same semantics as ops.kmer.get_repeat_device (see its docstring and the
+utils.nim citations there), but laid out for the VPU: reads ride the lane
+dimension ([L, TILE_B] position-major tiles resident in VMEM), so every
+per-read scalar state machine (window rotation minima, modal counting, the
+greedy exact recount, the k-selection scan) becomes an elementwise op over a
+tile of reads with zero HBM round-trips. The XLA version's [B, W, k]
+reshape/rotation gathers — which dominate its runtime as layout changes —
+disappear entirely.
+
+Outputs are compact per-read scalars: a base-4 packed unit code + unit length
++ repeat count; ASCII decoding happens on host (ops.kmer.unpack_unit_codes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from strling_tpu.ops.kmer import KS
+
+TILE_B = 1024
+NEG = -1
+
+
+def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
+            codes_s, wmin_s, valid_s, match_s):
+    L, TB = bases_ref.shape
+    basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
+    codes = (basesi >> 1) & 3  # [L, TB]
+    codes_s[:, :] = codes
+    lengths = lengths_ref[...].astype(jnp.int32)  # [1, TB]
+    n_mask = (basesi == ord("N")) & (
+        jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0) < lengths
+    )
+    skip = n_mask.astype(jnp.int32).sum(axis=0, keepdims=True) > 20  # [1, TB]
+
+    per_k = []
+    for ki, k in enumerate(KS):
+        W = L // k
+        # --- window min-rotation codes (utils.nim:10-35) -------------------
+        # rolling encode per window, exactly the Nim slide_by structure:
+        # k adds to load the window, then k more (cyclic) taking the min —
+        # row reads go through scratch (strided value slices don't lower)
+        mask = (1 << (2 * k)) - 1
+
+        def win_body(j, _):
+            f = jnp.zeros((1, TB), jnp.int32)
+            for m in range(k):  # load window
+                f = ((f << 2) | codes_s[pl.ds(j * k + m, 1), :]) & mask
+            kmin = f
+            for m in range(k):  # rotate
+                f = ((f << 2) | codes_s[pl.ds(j * k + m, 1), :]) & mask
+                kmin = jnp.minimum(kmin, f)
+            wmin_s[pl.ds(j, 1), :] = kmin
+            return 0
+
+        jax.lax.fori_loop(0, W, win_body, 0)
+        wmin = wmin_s[:W, :]
+        win_end = (jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) + 1) * k
+        validw = win_end <= lengths  # [W, TB]
+        wmin = jnp.where(validw, wmin, NEG)
+
+        # --- modal code with running-argmax tie-break (utils.nim:192-211) --
+        # total_j = #occurrences of code_j; occ_j = #occurrences at i <= j.
+        # Row i is re-read through VMEM scratch (value dynamic_slice is not
+        # lowerable in Mosaic).
+        wmin_s[:W, :] = wmin
+        valid_s[:W, :] = validw.astype(jnp.int32)
+
+        def modal_body(i, carry):
+            total, occ = carry
+            row = wmin_s[pl.ds(i, 1), :]
+            row_valid = valid_s[pl.ds(i, 1), :] > 0
+            eq = (wmin == row) & row_valid & validw  # [W, TB]
+            eqi = eq.astype(jnp.int32)
+            total = total + eqi
+            le = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) >= i
+            occ = occ + eqi * le.astype(jnp.int32)
+            return total, occ
+
+        total, occ = jax.lax.fori_loop(
+            0, W, modal_body,
+            (jnp.zeros((W, TB), jnp.int32), jnp.zeros((W, TB), jnp.int32)),
+        )
+        M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)  # [1, TB]
+        cand = validw & (total == M) & (occ == M) & (M > 0)
+        widx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
+        jstar = jnp.min(jnp.where(cand, widx, W), axis=0, keepdims=True)
+        sel = cand & (widx == jstar)
+        modal = jnp.max(jnp.where(sel, wmin, NEG), axis=0, keepdims=True)  # [1, TB]
+        kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
+        # decode: modal == -1 behaves as all-ones bits ("G"*k, utils.nim:197)
+        modal_eff = jnp.where(modal < 0, (1 << (2 * k)) - 1, modal)
+
+        # --- exact non-overlapping recount (utils.nim:254) -----------------
+        # match[j]: decoded kmer matches bases[j..j+k) (N never matches since
+        # the decoded alphabet is ACTG and codes compare on 2 bits only for
+        # non-N bases; compare on raw bytes via re-encoded ascii)
+        # digit -> ascii without a lookup table (constant captures are not
+        # allowed in pallas): A=65 C=67 T=84 G=71 == 65 + 2*d + 15*(d==2)
+        kmer_rows = []
+        for m in range(k):
+            digit = (modal_eff >> (2 * (k - 1 - m))) & 3
+            kmer_rows.append(65 + 2 * digit + 15 * (digit == 2).astype(jnp.int32))
+        match = jnp.ones((L, TB), dtype=jnp.bool_)
+        for m in range(k):
+            shifted = jax.lax.slice(basesi, (m, 0), (L, TB))
+            shifted = jnp.pad(shifted, ((0, m), (0, 0)))
+            match = match & (shifted == kmer_rows[m])
+        jpos = jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0)
+        match = match & ((jpos + k) <= lengths)
+        match_s[:, :] = match.astype(jnp.int32)
+
+        def greedy_body(j, carry):
+            count, next_free = carry
+            mj = match_s[pl.ds(j, 1), :]
+            can = (mj > 0) & (j >= next_free)
+            count = count + can.astype(jnp.int32)
+            next_free = jnp.where(can, j + k, next_free)
+            return count, next_free
+
+        exact, _ = jax.lax.fori_loop(
+            0, L, greedy_body,
+            (jnp.zeros((1, TB), jnp.int32), jnp.zeros((1, TB), jnp.int32)),
+        )
+        per_k.append((kcount, exact, modal_eff))
+
+    # --- k-selection state machine (utils.nim:243-269) ---------------------
+    best = jnp.full((1, TB), -1, jnp.int32)
+    done = jnp.zeros((1, TB), jnp.bool_)
+    res_ki = jnp.full((1, TB), -1, jnp.int32)
+    res_cnt = jnp.zeros((1, TB), jnp.int32)
+    res_code = jnp.zeros((1, TB), jnp.int32)
+    for ki, k in enumerate(KS):
+        kcount, exact, modal_eff = per_k[ki]
+        te_row = te_ref[ki, :].reshape(1, TB).astype(jnp.int32)
+        tp_row = tp_ref[ki, :].reshape(1, TB).astype(jnp.int32)
+        score_est = kcount * k
+        gate1_fail = score_est <= best
+        newly_done = (~done) & gate1_fail & (kcount < te_row)
+        proceed = (~done) & (~gate1_fail)
+        done = done | newly_done
+        score_ex = exact * k
+        upd = proceed & (score_ex >= best)
+        best = jnp.where(upd, score_ex, best)
+        set_res = upd & (exact > tp_row)
+        res_ki = jnp.where(set_res, ki, res_ki)
+        res_cnt = jnp.where(set_res, exact, res_cnt)
+        res_code = jnp.where(set_res, modal_eff, res_code)
+
+    klen = jnp.where(res_ki >= 0, res_ki + 2, 0)
+    # homopolymer reduction (utils.nim:220-233): all base-4 digits equal
+    first_digit = res_code & 3
+    is_homo = res_ki >= 0
+    for d in range(1, 6):
+        active = d < klen
+        dig = (res_code >> (2 * d)) & 3
+        is_homo = is_homo & (~active | (dig == first_digit))
+    res_cnt = jnp.where(is_homo, res_cnt * klen, res_cnt)
+    res_code = jnp.where(is_homo, first_digit, res_code)
+    klen = jnp.where(is_homo & (klen > 0), 1, klen)
+
+    res_cnt = jnp.where(skip, 0, res_cnt)
+    klen = jnp.where(skip, 0, klen)
+    res_code = jnp.where(skip, 0, res_code)
+
+    code_out[...] = res_code
+    len_out[...] = klen
+    cnt_out[...] = res_cnt
+
+
+def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
+                            te: jnp.ndarray, tp: jnp.ndarray,
+                            interpret: bool = False):
+    """bases_T: [L, B] uint8 (position-major); lengths [B]; te/tp [5, B].
+
+    Returns (unit_code [B] i32 base-4, unit_len [B] i32, count [B] i32).
+    """
+    L, B = bases_T.shape
+    assert B % TILE_B == 0, B
+    grid = (B // TILE_B,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(KS), TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(KS), TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, TILE_B), jnp.int32),       # 2-bit codes
+            pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # wmin rows (W <= L/2)
+            pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # valid rows
+            pltpu.VMEM((L, TILE_B), jnp.int32),       # match rows
+        ],
+        interpret=interpret,
+    )(bases_T, lengths.reshape(1, B), te, tp)
+    return out[0][0], out[1][0], out[2][0]
+
+
+def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
+                             interpret: bool = False):
+    """Drop-in for ops.kmer.get_repeat_device (same [B, L] inputs), returning
+    packed codes instead of ASCII: (unit_code, unit_len, count)."""
+    B, L = bases.shape
+    pad = (-B) % TILE_B
+    if pad:
+        bases = jnp.pad(bases, ((0, pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad))
+        thresh_early = jnp.pad(thresh_early, ((0, pad), (0, 0)))
+        thresh_prop = jnp.pad(thresh_prop, ((0, pad), (0, 0)))
+    code, klen, cnt = get_repeat_codes_pallas(
+        bases.T, lengths, thresh_early.T.astype(jnp.int32),
+        thresh_prop.T.astype(jnp.int32), interpret=interpret,
+    )
+    if pad:
+        code, klen, cnt = code[:B], klen[:B], cnt[:B]
+    return code, klen, cnt
+
+
+_pallas_jit = jax.jit(get_repeat_device_pallas)
+
+
+def unpack_unit_codes(code: np.ndarray, klen: np.ndarray) -> list[str]:
+    """Base-4 packed unit code -> ACTG string (host-side)."""
+    DEC = "ACTG"
+    out = []
+    for c, l in zip(code.tolist(), klen.tolist()):
+        out.append(
+            "".join(DEC[(c >> (2 * (l - 1 - i))) & 3] for i in range(l))
+        )
+    return out

@@ -1,0 +1,76 @@
+"""Pallas kernel vs oracle cross-validation (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from strling_tpu.ops import oracle
+from strling_tpu.ops.kmer import _host_thresholds
+from strling_tpu.ops.kmer_pallas import (
+    TILE_B,
+    get_repeat_device_pallas,
+    unpack_unit_codes,
+)
+
+
+def _batch(reads, props, L=160):
+    B = len(reads)
+    bases = np.zeros((B, L), np.uint8)
+    lengths = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        b = r.encode()
+        bases[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lengths[i] = len(b)
+    return bases, lengths, np.asarray(props, np.float64)
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_pallas_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    alphabet = np.array(list("ACGTN"))
+    units = ["AT", "CAG", "AAGGG", "GGGGCC", "A", "ATTCT", "TG"]
+    reads, props = [], []
+    for _ in range(48):
+        mode = rng.integers(0, 4)
+        L = int(rng.integers(1, 153))
+        if mode == 0:
+            read = "".join(alphabet[rng.integers(0, 4, L)])
+        elif mode == 1:
+            u = units[rng.integers(0, len(units))]
+            ph = int(rng.integers(0, len(u)))
+            read = (u * (L // len(u) + 2))[ph : ph + L]
+        elif mode == 2:
+            u = units[rng.integers(0, len(units))]
+            r = list((u * (L // len(u) + 2))[:L])
+            for _ in range(max(1, L // 12)):
+                r[rng.integers(0, L)] = alphabet[rng.integers(0, 5)]
+            read = "".join(r)
+        else:
+            u = units[rng.integers(0, len(units))]
+            h = L // 2
+            read = (u * (h // len(u) + 2))[:h] + "".join(
+                alphabet[rng.integers(0, 4, L - h)]
+            )
+        reads.append(read)
+        props.append(float(rng.choice([0.8, 0.73, 0.6])))
+
+    bases, lengths, props = _batch(reads, props)
+    te, tp = _host_thresholds(lengths, props)
+    code, klen, cnt = get_repeat_device_pallas(
+        bases, lengths, te, tp, interpret=True
+    )
+    got_units = unpack_unit_codes(np.asarray(code), np.asarray(klen))
+    for i, (r, p) in enumerate(zip(reads, props)):
+        exp_unit, exp_count = oracle.get_repeat(r, float(p))
+        assert got_units[i] == exp_unit, (i, r, got_units[i], exp_unit)
+        assert int(cnt[i]) == exp_count, (i, r, int(cnt[i]), exp_count)
+
+
+def test_pallas_fixtures():
+    reads = ["TGC" * 50 + "T", "A" * 150, "N" * 30 + "AT" * 60]
+    props = [0.8, 0.6, 0.8]
+    bases, lengths, props = _batch(reads, props)
+    te, tp = _host_thresholds(lengths, props)
+    code, klen, cnt = get_repeat_device_pallas(bases, lengths, te, tp, interpret=True)
+    units = unpack_unit_codes(np.asarray(code), np.asarray(klen))
+    assert units == ["CTG", "A", ""]
+    assert cnt.tolist() == [49, 150, 0]
