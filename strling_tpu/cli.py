@@ -32,12 +32,12 @@ def _extract(argv):
     p.add_argument("bin", help="path to output bin file to be created")
     args = p.parse_args(argv)
 
-    from strling_tpu.core.extract import extract
+    from strling_tpu.core.extract import extract_native
     from strling_tpu.io.bam import Bam
     from strling_tpu.io.binfmt import write_bin
 
     bam = Bam(args.bam)
-    treads, frag_dist, opts = extract(
+    treads, frag_dist, opts = extract_native(
         bam, args.fasta or None, args.genome_repeats or None,
         proportion_repeat=args.proportion_repeat, min_mapq=args.min_mapq,
         verbose=args.verbose,
@@ -106,8 +106,20 @@ COMMANDS = {
 }
 
 
+def _enable_compile_cache():
+    """Remote TPU compiles are slow and variable; cache them persistently."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    _enable_compile_cache()
     print(f"\nstrling version: {__version__} (strling_tpu)", file=sys.stderr)
     if not argv or argv[0] not in COMMANDS:
         print("\nCommands: ", file=sys.stderr)

@@ -386,3 +386,48 @@ def extract(bam, fasta: str | None, genome_repeats_path: str | None,
 
     tb = TreadBatch.from_treads(ex.cache.out)
     return tb, frag_dist, opts
+
+
+def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
+                   proportion_repeat: float = 0.8, min_mapq: int = 40,
+                   verbose: bool = False, genome_index: GenomeIndex | None = None,
+                   backend: str = "auto"):
+    """Native-engine extraction: C++ streams/packs/pairs, device scans.
+
+    Same results as `extract` (equivalence-tested); ~2 orders of magnitude
+    faster host side.
+    """
+    from strling_tpu.core.genome_index import genome_repeats as build_gi
+    from strling_tpu.io.extract_native import NativeExtractor, native_frag_hist
+    from strling_tpu.ops.kmer import scan_codes
+    from strling_tpu.utils import fraglen
+
+    frag_dist = native_frag_hist(bam)
+    frag_median = fraglen.median(frag_dist)
+    if verbose:
+        print(f"Calculated median fragment length:{frag_median}", file=sys.stderr)
+    opts = Options(
+        median_fragment_length=frag_median,
+        proportion_repeat=proportion_repeat,
+        min_mapq=min_mapq,
+    )
+    if genome_index is None and fasta:
+        genome_index = build_gi(fasta, opts, genome_repeats_path or "")
+
+    ne = NativeExtractor(
+        bam, proportion_repeat, min_mapq, frag_median, genome_index=genome_index
+    )
+    print("[strling] collecting str-like reads", file=sys.stderr)
+    t0 = time.time()
+
+    def scan_fn(bases, lengths, props):
+        return scan_codes(bases, lengths, props, backend=backend)
+
+    tb = ne.run(scan_fn)
+    if verbose:
+        dt = max(1e-9, time.time() - t0)
+        print(
+            f"[strling] {ne.nreads} reads @ {ne.nreads/dt:.1f} reads/sec",
+            file=sys.stderr,
+        )
+    return tb, frag_dist, opts

@@ -1,0 +1,543 @@
+// Native extract engine: the order-sensitive host side of `extract`.
+//
+// C++ port of the mate-cache state machine in strling_tpu/core/extract.py
+// (itself a line-faithful port of reference src/strpkg/extract.nim:60-248).
+// The engine streams BAM records, applies the genome-index fast path, emits
+// device-scan rows (primary reads + soft-clip sub-reads under both proportion
+// variants), then consumes the kernel's packed unit codes and runs pairing /
+// unplaced canonicalization / adjust_by, appending treads in exactly the
+// reference's output order.
+//
+// Python drives the lockstep loop:
+//   rows = engine.next()        (C++ reads+packs, applies fast path)
+//   results = kernel(rows)      (device)
+//   engine.feed(results)        (C++ state machine)
+
+#include "strling_io.h"
+
+#include <cassert>
+#include <cmath>
+#include <unordered_map>
+
+namespace {
+
+using sio::BamFile;
+using sio::BamIter;
+using sio::BamRec;
+using sio::endpos;
+
+constexpr uint16_t FLAG_PROPER_PAIR = 0x2;
+constexpr uint16_t FLAG_REVERSE = 0x10;
+constexpr uint16_t FLAG_MATE_REVERSE = 0x20;
+constexpr uint16_t FLAG_SECONDARY = 0x100;
+constexpr uint16_t FLAG_SUPPLEMENTARY = 0x800;
+
+enum Soft : uint8_t {
+  SOFT_LEFT = 0,
+  SOFT_RIGHT = 1,
+  SOFT_BOTH = 2,
+  SOFT_NONE = 3,
+  SOFT_NONE_RIGHT = 4,
+  SOFT_NONE_LEFT = 5,
+};
+
+struct Tread {
+  int32_t tid = 0;
+  uint32_t position = 0;
+  char repeat[6] = {0, 0, 0, 0, 0, 0};
+  uint16_t flag = 0;
+  uint8_t split = SOFT_NONE;
+  uint8_t mapq = 0;
+  uint8_t repeat_count = 0;
+  uint8_t align_length = 0;
+  std::string qname;
+
+  int repeat_length() const {
+    for (int i = 0; i < 6; i++)
+      if (!repeat[i]) return i;
+    return 6;
+  }
+  // extract.nim:56-58 — uint8 product wraps mod 256
+  double p_repeat() const {
+    int prod = (int(repeat_count) * repeat_length()) & 0xFF;
+    return double(prod) / std::max<int>(1, align_length);
+  }
+};
+
+// ---- unit canonicalization (nim-kmer 2-bit order, see ops/encode.py) -------
+
+static inline int code2(char c) { return (c >> 1) & 3; }
+static const char DECODE[] = "ACTG";
+
+static char complement_base(char c) {
+  switch (c) {
+    case 'A': return 'T';
+    case 'T': return 'A';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    default: return c;
+  }
+}
+
+// min 2-bit-code rotation of the reverse complement (utils.nim:61-80)
+static void min_rev_complement(char rep[6]) {
+  int n = 0;
+  while (n < 6 && rep[n]) n++;
+  if (n == 0) return;
+  char rc[6];
+  for (int i = 0; i < n; i++) rc[i] = complement_base(rep[n - 1 - i]);
+  uint64_t best = ~0ull;
+  for (int r = 0; r < n; r++) {
+    uint64_t v = 0;
+    for (int m = 0; m < n; m++) v = (v << 2) | code2(rc[(m + r) % n]);
+    best = std::min(best, v);
+  }
+  for (int i = 0; i < n; i++)
+    rep[i] = DECODE[(best >> (2 * (n - 1 - i))) & 3];
+}
+
+// utils.nim:304-316: candidate vs original by NUL-padded ascii compare
+static void canonical_repeat(char rep[6]) {
+  char cand[6];
+  memcpy(cand, rep, 6);
+  min_rev_complement(cand);
+  if (memcmp(cand, rep, 6) < 0) memcpy(rep, cand, 6);
+}
+
+static bool should_reverse(uint16_t flag) {
+  // extract.nim:134-139: flip when reverse == mate_reverse
+  return bool(flag & FLAG_REVERSE) == bool(flag & FLAG_MATE_REVERSE);
+}
+
+// ------------------------------------------------------------------- engine
+
+struct Pending {
+  // decoded alignment metadata for one buffered primary record
+  int32_t tid, pos, mate_tid, mate_pos, end_pos, read_len;
+  uint16_t flag;
+  uint8_t mapq;
+  int32_t lclip, rclip;
+  int32_t n_cigar;
+  int32_t m_len;  // first-op M length when exact-match fast path
+  bool fast;
+  int32_t scan_row = -1;
+  int32_t clip_row_l = -1;  // rows (r, r+1) hold (after, first) variants
+  int32_t clip_row_r = -1;
+  std::string qname;
+};
+
+struct KernelResult {
+  int32_t code, len, count;
+};
+
+struct Engine {
+  BamFile* bam = nullptr;
+  BamIter iter;
+  double proportion_repeat = 0.8;
+  int min_mapq = 40;
+  int64_t median_fragment_length = 0;
+  int Lmax = 256;
+
+  bool has_gi = false;
+  std::vector<std::vector<int64_t>> gi_starts, gi_pmax;
+
+  std::unordered_map<std::string, Tread> tbl;
+  std::vector<Tread> out;
+  std::vector<Pending> pending;
+  std::vector<KernelResult> results;
+  int phase = 0;  // 0 main scan, 1 no-coor scan, 2 done
+  int64_t nreads = 0;
+  std::string err;
+
+  bool gi_overlaps(int tid, int64_t start, int64_t stop) const {
+    const auto& s = gi_starts[tid];
+    // Lapper.find: iv.start < stop && iv.stop > start
+    auto it = std::lower_bound(s.begin(), s.end(), stop);
+    size_t idx = it - s.begin();
+    if (idx == 0) return false;
+    return gi_pmax[tid][idx - 1] > start;
+  }
+
+  bool gi_has_chrom(int tid) const {
+    return has_gi && tid >= 0 && tid < (int)gi_starts.size() &&
+           !gi_starts[tid].empty();
+  }
+
+  void decode_seq(const BamRec& r, std::string* seq) const {
+    int L = std::min<int32_t>(r.l_seq, Lmax);
+    seq->resize(L);
+    for (int i = 0; i < L; i++) {
+      uint8_t nib = (r.seq4[i >> 1] >> ((i & 1) ? 0 : 4)) & 0xf;
+      (*seq)[i] = sio::SEQ_NT16[nib];
+    }
+  }
+
+  // Buffer up to max_records primary records, packing scan rows.
+  // Returns row count; *n_records set to buffered record count.
+  int64_t next(int64_t max_records, int64_t* n_records, uint8_t* bases,
+               int32_t* lengths, double* props, int64_t rows_cap) {
+    pending.clear();
+    int64_t rows = 0;
+    std::string seq;
+    BamRec r;
+    while ((int64_t)pending.size() < max_records && phase < 2) {
+      if (rows + 5 > rows_cap) break;  // a record adds at most 1 + 2*2 rows
+      int rc = iter.next(&r);
+      if (rc < 0) {
+        err = iter.err;
+        return -1;
+      }
+      if (rc == 0) {
+        if (phase == 0) {
+          // switch to the no-coor block (extract.nim:326: query("*"))
+          phase = 1;
+          iter = BamIter();
+          iter.bam = bam;
+          iter.mode = 2;
+          continue;
+        }
+        phase = 2;
+        break;
+      }
+      if (r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) continue;
+
+      Pending p;
+      p.tid = r.tid;
+      p.pos = r.pos;
+      p.mate_tid = r.mate_tid;
+      p.mate_pos = r.mate_pos;
+      p.end_pos = (int32_t)endpos(r);
+      p.read_len = r.l_seq;
+      p.flag = r.flag;
+      p.mapq = r.mapq;
+      p.n_cigar = (int32_t)r.cigar.size();
+      p.lclip = 0;
+      p.rclip = 0;
+      p.m_len = 0;
+      if (p.n_cigar) {
+        if ((r.cigar[0] & 0xf) == 4) p.lclip = r.cigar[0] >> 4;
+        if (p.n_cigar > 1 && (r.cigar.back() & 0xf) == 4)
+          p.rclip = r.cigar.back() >> 4;
+      }
+      p.qname = r.qname;
+
+      // reference-STR fast path (extract.nim:29-34)
+      bool exact = p.n_cigar == 1 && (r.cigar[0] & 0xf) == 0;
+      p.fast = false;
+      if (exact && gi_has_chrom(p.tid)) {
+        if (!gi_overlaps(p.tid, p.pos, p.end_pos)) {
+          p.fast = true;
+          p.m_len = r.cigar[0] >> 4;
+        }
+      }
+
+      int L = std::min<int32_t>(p.read_len, Lmax);
+      if (!p.fast) {
+        decode_seq(r, &seq);
+        p.scan_row = rows;
+        memcpy(bases + rows * Lmax, seq.data(), L);
+        memset(bases + rows * Lmax + L, 0, Lmax - L);
+        lengths[rows] = L;
+        props[rows] = proportion_repeat;
+        rows++;
+      }
+      // soft-clip rows, two proportion variants each (extract.py phase A)
+      if (p.mapq >= min_mapq) {
+        if (p.lclip >= 2) {
+          if (p.scan_row < 0) decode_seq(r, &seq);
+          int cl = std::min<int32_t>(p.lclip, Lmax);
+          p.clip_row_l = rows;
+          for (int v = 0; v < 2; v++) {
+            memcpy(bases + rows * Lmax, seq.data(), cl);
+            memset(bases + rows * Lmax + cl, 0, Lmax - cl);
+            lengths[rows] = cl;
+            props[rows] = v == 0 ? std::min(proportion_repeat, 0.6)
+                                 : proportion_repeat - 0.07;
+            rows++;
+          }
+        }
+        if (p.rclip >= 2) {
+          if (p.scan_row < 0 && p.clip_row_l < 0) decode_seq(r, &seq);
+          int cl = std::min<int32_t>(p.rclip, Lmax);
+          p.clip_row_r = rows;
+          for (int v = 0; v < 2; v++) {
+            memcpy(bases + rows * Lmax, seq.data() + L - cl, cl);
+            memset(bases + rows * Lmax + cl, 0, Lmax - cl);
+            lengths[rows] = cl;
+            props[rows] = v == 0 ? std::min(proportion_repeat, 0.6)
+                                 : proportion_repeat - 0.07;
+            rows++;
+          }
+        }
+      }
+      pending.push_back(std::move(p));
+    }
+    *n_records = (int64_t)pending.size();
+    return rows;
+  }
+
+  static void unit_from_result(const KernelResult& kr, Tread* t) {
+    t->repeat_count = (uint8_t)kr.count;
+    memset(t->repeat, 0, 6);
+    for (int i = 0; i < kr.len; i++)
+      t->repeat[i] = DECODE[(kr.code >> (2 * (kr.len - 1 - i))) & 3];
+  }
+
+  // extract.nim:182-190
+  bool unplaced_pair(const Tread& a, const Tread& b) const {
+    double pr = proportion_repeat;
+    if (a.p_repeat() > pr && b.p_repeat() > pr) return true;
+    if (a.p_repeat() > pr && b.mapq < min_mapq) return true;
+    if (b.p_repeat() > pr && a.mapq < min_mapq) return true;
+    return false;
+  }
+
+  // extract.nim:141-179; mutates a, returns keep
+  bool adjust_by(Tread& a, const Tread& b, uint32_t b_position) const {
+    if (a.repeat_count == 0) return false;
+    if (b.mapq > min_mapq &&
+        ((a.p_repeat() > proportion_repeat && b.p_repeat() < 0.2) ||
+         (!(a.flag & FLAG_PROPER_PAIR) && a.mapq < min_mapq))) {
+      uint32_t half = (uint32_t)(int64_t)(a.align_length / 2.0 + 0.5);
+      if (b.flag & FLAG_REVERSE) {
+        a.position = (uint32_t)(b_position - (uint32_t)median_fragment_length +
+                                b.align_length + half);
+        if (b.split == SOFT_NONE_LEFT) a.position = b_position;
+      } else {
+        a.position =
+            (uint32_t)(b_position + (uint32_t)median_fragment_length - half);
+        if (b.split == SOFT_NONE_RIGHT)
+          a.position = b_position + (uint32_t)b.align_length;
+      }
+      a.split = SOFT_NONE;
+      a.tid = b.tid;
+      a.mapq = std::max(a.mapq, b.mapq);
+      if (should_reverse(a.flag)) min_rev_complement(a.repeat);
+    } else if (a.mapq >= min_mapq || (a.flag & FLAG_PROPER_PAIR)) {
+      a.position += (uint32_t)(int64_t)(a.align_length / 2.0 + 0.5);
+      a.mapq = std::max(a.mapq, b.mapq);
+    }
+    return true;
+  }
+
+  // extract.nim:93-132 (clip treads go straight to out)
+  void add_soft(const Pending& p, bool first, const char main_repeat[6]) {
+    if (p.mapq < min_mapq) return;
+    struct Side {
+      int row;
+      int clip_len;
+      bool left;
+    } sides[2] = {{p.clip_row_l, p.lclip, true}, {p.clip_row_r, p.rclip, false}};
+    for (auto& s : sides) {
+      if (s.clip_len == 0) continue;
+      if (main_repeat[0] == 0 && s.clip_len <= 16) continue;
+      if (s.row < 0) continue;  // <2bp clip: detector would return 0 anyway
+      const KernelResult& kr = results[s.row + (first ? 1 : 0)];
+      if (kr.count == 0) continue;
+      Tread t;
+      t.tid = p.tid;
+      t.position = (uint32_t)std::max<int32_t>(0, s.left ? p.pos : p.end_pos);
+      t.flag = p.flag;
+      unit_from_result(kr, &t);
+      t.align_length = (uint8_t)std::min<int32_t>(s.clip_len, Lmax);
+      t.split = s.left ? SOFT_LEFT : SOFT_RIGHT;
+      t.mapq = p.mapq;
+      t.qname = p.qname;
+      if (t.p_repeat() < 0.9) continue;  // extract.nim:131
+      out.push_back(std::move(t));
+    }
+  }
+
+  // run the state machine over the buffered records (extract.nim:192-248)
+  void feed() {
+    for (const Pending& p : pending) {
+      nreads++;
+      Tread tr;
+      tr.tid = p.tid;
+      tr.position = (uint32_t)std::max<int32_t>(0, p.pos);
+      tr.flag = p.flag;
+      tr.split = SOFT_NONE;
+      tr.mapq = p.mapq;
+      tr.qname = p.qname;
+      if (p.fast) {
+        tr.repeat_count = 0;
+        tr.align_length = (uint8_t)p.m_len;
+      } else {
+        const KernelResult& kr = results[p.scan_row];
+        assert(kr.count < 256);
+        unit_from_result(kr, &tr);
+        tr.align_length = (uint8_t)std::min<int32_t>(p.read_len, Lmax);
+      }
+      if (p.n_cigar > 1) {
+        if (p.lclip > 16) tr.split = SOFT_NONE_LEFT;
+        if (p.rclip > 16) tr.split = SOFT_NONE_RIGHT;
+      }
+
+      bool after_mate =
+          p.tid > p.mate_tid ||
+          (p.tid == p.mate_tid &&
+           (p.pos > p.mate_pos ||
+            (p.pos == p.mate_pos && tbl.count(p.qname) > 0)));
+
+      if (after_mate) {
+        auto it = tbl.find(p.qname);
+        if (it == tbl.end()) continue;
+        Tread mate = std::move(it->second);
+        tbl.erase(it);
+        add_soft(p, /*first=*/false, tr.repeat);
+        if (mate.repeat_count == 0 && tr.repeat_count == 0) continue;
+        if (unplaced_pair(tr, mate)) {
+          if (tr.repeat[0] == 0 || mate.repeat[0] == 0) continue;
+          canonical_repeat(tr.repeat);
+          tr.position = 0;
+          tr.tid = -1;
+          canonical_repeat(mate.repeat);
+          mate.position = 0;
+          mate.tid = -1;
+          out.push_back(std::move(tr));
+          out.push_back(std::move(mate));
+          continue;
+        }
+        uint32_t mp = mate.position;
+        if (adjust_by(mate, tr, tr.position)) out.push_back(mate);
+        if (adjust_by(tr, mate, mp)) out.push_back(tr);
+      } else {
+        add_soft(p, /*first=*/true, tr.repeat);
+        auto ins = tbl.emplace(p.qname, tr);
+        if (!ins.second) {
+          fprintf(stderr,
+                  "[strling] warning. bad read (this happens with bwa-kit "
+                  "alignments):%s already in table\n",
+                  p.qname.c_str());
+          tbl.erase(ins.first);
+        }
+      }
+    }
+    pending.clear();
+    results.clear();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* sio_ex_create(void* bam_handle, double proportion_repeat, int min_mapq,
+                    int64_t median_fragment_length, int Lmax) {
+  auto* h = (sio::Handle*)bam_handle;
+  Engine* e = new Engine();
+  e->bam = &h->bam;
+  e->proportion_repeat = proportion_repeat;
+  e->min_mapq = min_mapq;
+  e->median_fragment_length = median_fragment_length;
+  e->Lmax = Lmax;
+  e->iter.bam = e->bam;
+  e->iter.mode = 0;
+  int n = (int)h->bam.ref_names.size();
+  e->gi_starts.resize(n);
+  e->gi_pmax.resize(n);
+  return e;
+}
+
+void sio_ex_destroy(void* ve) { delete (Engine*)ve; }
+
+void sio_ex_set_index(void* ve, int tid, const int64_t* starts,
+                      const int64_t* pmax, int64_t n) {
+  Engine* e = (Engine*)ve;
+  e->has_gi = true;
+  e->gi_starts[tid].assign(starts, starts + n);
+  e->gi_pmax[tid].assign(pmax, pmax + n);
+}
+
+int64_t sio_ex_next(void* ve, int64_t max_records, int64_t* n_records,
+                    uint8_t* bases, int32_t* lengths, double* props,
+                    int64_t rows_cap) {
+  return ((Engine*)ve)->next(max_records, n_records, bases, lengths, props,
+                             rows_cap);
+}
+
+int sio_ex_feed(void* ve, const int32_t* unit_code, const int32_t* unit_len,
+                const int32_t* counts, int64_t n_rows) {
+  Engine* e = (Engine*)ve;
+  e->results.resize(n_rows);
+  for (int64_t i = 0; i < n_rows; i++)
+    e->results[i] = {unit_code[i], unit_len[i], counts[i]};
+  e->feed();
+  return 0;
+}
+
+int sio_ex_done(void* ve) { return ((Engine*)ve)->phase >= 2 ? 1 : 0; }
+
+int64_t sio_ex_nreads(void* ve) { return ((Engine*)ve)->nreads; }
+
+int64_t sio_ex_n_treads(void* ve) { return (int64_t)((Engine*)ve)->out.size(); }
+
+int64_t sio_ex_get_treads(void* ve, int32_t* tid, uint32_t* position,
+                          uint8_t* repeat6, uint16_t* flag, uint8_t* split,
+                          uint8_t* mapq, uint8_t* repeat_count,
+                          uint8_t* align_length, char* qname_buf,
+                          int64_t qname_cap, int64_t* qname_off) {
+  Engine* e = (Engine*)ve;
+  int64_t qoff = 0;
+  qname_off[0] = 0;
+  for (size_t i = 0; i < e->out.size(); i++) {
+    const Tread& t = e->out[i];
+    tid[i] = t.tid;
+    position[i] = t.position;
+    memcpy(repeat6 + 6 * i, t.repeat, 6);
+    flag[i] = t.flag;
+    split[i] = t.split;
+    mapq[i] = t.mapq;
+    repeat_count[i] = t.repeat_count;
+    align_length[i] = t.align_length;
+    if (qoff + (int64_t)t.qname.size() > qname_cap) return -1;
+    memcpy(qname_buf + qoff, t.qname.data(), t.qname.size());
+    qoff += (int64_t)t.qname.size();
+    qname_off[i + 1] = qoff;
+  }
+  return (int64_t)e->out.size();
+}
+
+const char* sio_ex_error(void* ve) { return ((Engine*)ve)->err.c_str(); }
+
+// Native fragment-length histogram pre-pass (utils.nim:86-111)
+int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
+                  uint32_t* hist /*4096*/) {
+  auto* h = (sio::Handle*)bam_handle;
+  BamIter it;
+  it.bam = &h->bam;
+  it.mode = 0;
+  memset(hist, 0, 4096 * sizeof(uint32_t));
+  std::vector<int32_t> skipped;
+  BamRec r;
+  int64_t i = -1;
+  int64_t counted = 0;
+  while (true) {
+    int rc = it.next(&r);
+    if (rc <= 0) break;
+    i++;
+    if (!(r.flag & FLAG_PROPER_PAIR)) continue;
+    if (r.flag & (FLAG_SUPPLEMENTARY | FLAG_SECONDARY)) continue;
+    if (r.isize < 0) continue;
+    if (r.isize > 4095) continue;
+    if (i < skip_reads) {
+      skipped.push_back(r.isize);
+      continue;
+    }
+    skipped.clear();
+    hist[r.isize]++;
+    counted++;
+    if (counted > n_reads) break;
+  }
+  uint64_t total = 0;
+  for (int j = 0; j < 4096; j++) total += hist[j];
+  if (total == 0) {
+    fprintf(stderr,
+            "using first reads in fragment_length_distribution calculation as "
+            "there were not enough\n");
+    for (int32_t v : skipped) hist[v]++;
+  }
+  return 0;
+}
+
+}  // extern "C"

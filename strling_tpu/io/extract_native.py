@@ -1,0 +1,173 @@
+"""Python driver for the native C++ extract engine.
+
+Lockstep loop with one-deep pipelining: while the device scans batch i, the
+C++ engine reads and packs batch i+1 from the BAM (the ~30ms tunnel fetch
+latency and the BGZF decode overlap with device compute).
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+
+import numpy as np
+
+from strling_tpu.core.tread import TREAD_DTYPE, TreadBatch
+from strling_tpu.io.bam import Bam, _load
+
+
+def _bind(lib):
+    P = np.ctypeslib.ndpointer
+    lib.sio_ex_create.restype = C.c_void_p
+    lib.sio_ex_create.argtypes = [C.c_void_p, C.c_double, C.c_int, C.c_int64, C.c_int]
+    lib.sio_ex_destroy.argtypes = [C.c_void_p]
+    lib.sio_ex_set_index.argtypes = [C.c_void_p, C.c_int, P(np.int64), P(np.int64), C.c_int64]
+    lib.sio_ex_next.restype = C.c_int64
+    lib.sio_ex_next.argtypes = [
+        C.c_void_p, C.c_int64, C.POINTER(C.c_int64), P(np.uint8), P(np.int32),
+        P(np.float64), C.c_int64,
+    ]
+    lib.sio_ex_feed.argtypes = [C.c_void_p, P(np.int32), P(np.int32), P(np.int32), C.c_int64]
+    lib.sio_ex_done.argtypes = [C.c_void_p]
+    lib.sio_ex_nreads.restype = C.c_int64
+    lib.sio_ex_nreads.argtypes = [C.c_void_p]
+    lib.sio_ex_n_treads.restype = C.c_int64
+    lib.sio_ex_n_treads.argtypes = [C.c_void_p]
+    lib.sio_ex_get_treads.restype = C.c_int64
+    lib.sio_ex_get_treads.argtypes = [
+        C.c_void_p, P(np.int32), P(np.uint32), P(np.uint8), P(np.uint16),
+        P(np.uint8), P(np.uint8), P(np.uint8), P(np.uint8), C.c_char_p,
+        C.c_int64, P(np.int64),
+    ]
+    lib.sio_frag_hist.argtypes = [C.c_void_p, C.c_int64, C.c_int64, P(np.uint32)]
+    lib.sio_ex_error.restype = C.c_char_p
+    lib.sio_ex_error.argtypes = [C.c_void_p]
+
+
+_bound = False
+
+
+def _lib():
+    global _bound
+    lib = _load()
+    if not _bound:
+        _bind(lib)
+        _bound = True
+    return lib
+
+
+def native_frag_hist(bam: Bam, skip_reads: int = 100_000,
+                     n_reads: int = 2_000_000) -> np.ndarray:
+    lib = _lib()
+    hist = np.zeros(4096, np.uint32)
+    lib.sio_frag_hist(bam._h, skip_reads, n_reads, hist)
+    return hist
+
+
+class NativeExtractor:
+    def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
+                 median_fragment_length: int, genome_index=None,
+                 batch_records: int = 32768):
+        self.lib = _lib()
+        self.bam = bam
+        self.Lmax = bam.Lmax
+        self.batch_records = batch_records
+        self.rows_cap = batch_records * 2 + 8
+        self._e = self.lib.sio_ex_create(
+            bam._h, proportion_repeat, min_mapq, median_fragment_length, bam.Lmax
+        )
+        if genome_index is not None:
+            name_to_tid = {t.name: t.tid for t in bam.targets}
+            for chrom, (starts, pmax) in genome_index.by_chrom.items():
+                tid = name_to_tid.get(chrom)
+                if tid is None:
+                    continue
+                self.lib.sio_ex_set_index(
+                    self._e, tid, np.ascontiguousarray(starts, np.int64),
+                    np.ascontiguousarray(pmax, np.int64), len(starts),
+                )
+
+    def __del__(self):
+        try:
+            if self._e:
+                self.lib.sio_ex_destroy(self._e)
+                self._e = None
+        except Exception:
+            pass
+
+    def _next(self):
+        bases = np.empty((self.rows_cap, self.Lmax), np.uint8)
+        lengths = np.empty(self.rows_cap, np.int32)
+        props = np.empty(self.rows_cap, np.float64)
+        n_records = C.c_int64(0)
+        rows = self.lib.sio_ex_next(
+            self._e, self.batch_records, C.byref(n_records),
+            bases.reshape(-1), lengths, props, self.rows_cap,
+        )
+        if rows < 0:
+            raise IOError(self.lib.sio_ex_error(self._e).decode())
+        return int(rows), int(n_records.value), bases, lengths, props
+
+    def run(self, scan_fn) -> TreadBatch:
+        """Strict lockstep: scan_fn(bases [R, L], lengths, props) ->
+        (code, len, count) int32 numpy arrays (the device kernel); results are
+        fed back into the engine, which runs the pairing state machine.
+
+        NOTE: the engine holds one pending batch at a time, so the loop is
+        next -> scan -> feed. (A double-buffered engine for device/host
+        overlap is a planned optimization.)
+        """
+        lib = _lib()
+        empty = np.zeros(0, np.int32)
+        while True:
+            rows, n_records, bases, lengths, props = self._next()
+            if rows > 0:
+                code, ulen, cnt = scan_fn(bases[:rows], lengths[:rows], props[:rows])
+                lib.sio_ex_feed(
+                    self._e, np.ascontiguousarray(code, np.int32),
+                    np.ascontiguousarray(ulen, np.int32),
+                    np.ascontiguousarray(cnt, np.int32), rows,
+                )
+            elif n_records > 0:
+                lib.sio_ex_feed(self._e, empty, empty, empty, 0)
+            if n_records == 0 and lib.sio_ex_done(self._e):
+                break
+        return self.treads()
+
+    @property
+    def nreads(self) -> int:
+        return int(_lib().sio_ex_nreads(self._e))
+
+    def treads(self) -> TreadBatch:
+        lib = _lib()
+        n = int(lib.sio_ex_n_treads(self._e))
+        tid = np.empty(n, np.int32)
+        position = np.empty(n, np.uint32)
+        repeat6 = np.empty(n * 6, np.uint8)
+        flag = np.empty(n, np.uint16)
+        split = np.empty(n, np.uint8)
+        mapq = np.empty(n, np.uint8)
+        repeat_count = np.empty(n, np.uint8)
+        align_length = np.empty(n, np.uint8)
+        qcap = n * 256 + 16
+        qbuf = C.create_string_buffer(qcap)
+        qoff = np.empty(n + 1, np.int64)
+        rc = lib.sio_ex_get_treads(
+            self._e, tid, position, repeat6, flag, split, mapq, repeat_count,
+            align_length, qbuf, qcap, qoff,
+        )
+        if rc < 0:
+            raise IOError("qname buffer overflow")
+        data = np.zeros(n, TREAD_DTYPE)
+        data["tid"] = tid
+        data["position"] = position
+        data["repeat"] = repeat6.reshape(n, 6).view("S6").reshape(n)
+        data["flag"] = flag
+        data["split"] = split
+        data["mapping_quality"] = mapq
+        data["repeat_count"] = repeat_count
+        data["align_length"] = align_length
+        blob = qbuf.raw
+        qnames = [
+            blob[qoff[i]: qoff[i + 1]].decode() for i in range(n)
+        ]
+        return TreadBatch(data=data, qnames=qnames)

@@ -267,3 +267,42 @@ def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray,
 
 def units_to_strings(unit: np.ndarray, unit_len: np.ndarray) -> list[str]:
     return [bytes(unit[i, : unit_len[i]]).decode() for i in range(len(unit_len))]
+
+
+def ascii_to_codes(unit: np.ndarray, unit_len: np.ndarray) -> np.ndarray:
+    """[B, 6] ASCII unit + lengths -> base-4 packed int32 codes."""
+    code = np.zeros(len(unit_len), np.int64)
+    for i in range(6):
+        active = i < unit_len
+        code = np.where(
+            active, code * 4 + ((unit[:, i].astype(np.int64) >> 1) & 3), code
+        )
+    return code.astype(np.int32)
+
+
+def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
+               backend: str = "auto", bucket: int = 4096):
+    """Run the repeat detector and return packed (code, len, count) int32
+    arrays — the native extract engine's result format. Rows are padded to
+    `bucket` multiples so jit shapes stay bounded."""
+    R = len(lengths)
+    padded = max(bucket, ((R + bucket - 1) // bucket) * bucket)
+    if padded != R:
+        bases = np.vstack([bases, np.zeros((padded - R, bases.shape[1]), np.uint8)])
+        lengths = np.concatenate([lengths, np.zeros(padded - R, np.int32)])
+        props = np.concatenate([props, np.full(padded - R, 0.8)])
+    te, tp = _host_thresholds(lengths, props)
+    if backend == "pallas" or (backend == "auto" and _use_pallas()):
+        from strling_tpu.ops.kmer_pallas import _pallas_jit
+
+        code, ulen, cnt = _pallas_jit(
+            jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
+        )
+        code = np.asarray(code)[:R]
+        return code, np.asarray(ulen)[:R], np.asarray(cnt)[:R]
+    unit, ulen, cnt = _get_repeat_jit(
+        jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
+    )
+    unit = np.asarray(unit)[:R]
+    ulen = np.asarray(ulen)[:R]
+    return ascii_to_codes(unit, ulen), ulen, np.asarray(cnt)[:R]
