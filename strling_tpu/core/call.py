@@ -53,8 +53,10 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
              min_support: int = 5, min_clip: int = 0, min_clip_total: int = 0,
              min_mapq: int = 40, loci: str | None = None,
              bounds_path: str | None = None, output_prefix: str = "strling",
-             verbose: bool = False):
-    """call_main (call.nim:50-303)."""
+             verbose: bool = False, debug: bool = False):
+    """call_main (call.nim:50-303). `debug` also writes the per-read and
+    per-span evidence files the reference emits in -d:debug builds
+    (call.nim:148-157,257-261)."""
     if loci and not os.path.exists(loci):
         raise SystemExit("couldn't open loci file")
     if bounds_path and not os.path.exists(bounds_path):
@@ -82,6 +84,31 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     unplaced_fh = open(output_prefix + "-unplaced.txt", "w")
     bounds_fh.write(BOUNDS_HEADER + "\tdepth\n")
     gt_fh.write(GT_HEADER + "\n")
+
+    reads_fh = span_fh = None
+    if debug:
+        reads_fh = open(output_prefix + "-reads.txt", "w")
+        span_fh = open(output_prefix + "-spanning.txt", "w")
+        reads_fh.write("#chrom\tpos\tstr\tsoft_clip\tstr_count\tqname\tcluster_id\n")
+
+    def _debug_write(b, spans, str_reads, str_qnames, cluster_id):
+        if not debug:
+            return
+        from strling_tpu.core.tread import Soft
+
+        chrom = opts.targets[b.tid].name
+        for s in spans:
+            span_fh.write(s.tostring(b, chrom) + "\n")
+        for i in range(len(str_reads)):
+            r = str_reads[i]
+            rep = r["repeat"].decode()
+            split = Soft(int(r["split"])).name
+            qn = str_qnames[i] if str_qnames is not None else ""
+            reads_fh.write(
+                f"{'unknown' if r['tid'] == -1 else opts.targets[r['tid']].name}"
+                f"\t{r['position']}\t{rep}\t{split}\t{r['repeat_count']}\t{qn}"
+                f"\t{cluster_id}\n"
+            )
 
     loci_list: list[Bounds] = []
     if loci:
@@ -125,8 +152,10 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
         canon = canonical_repeat(bound.repeat)
         genotypes_by_repeat.setdefault(canon, []).append(gt)
         bounds_fh.write(bound.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
+        _debug_write(bound, spans, str_reads, str_qnames, bound.id(opts.targets))
 
     # PASS B — novel clusters (call.nim:221-262)
+    ci = 0
     for (tid, repeat), (treads, names) in groups.items():
         for c in cluster(treads, max_dist=opts.window,
                          min_supporting_reads=opts.min_support, qnames=names):
@@ -149,6 +178,8 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
             canon = canonical_repeat(b.repeat)
             genotypes_by_repeat.setdefault(canon, []).append(gt)
             bounds_fh.write(b.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
+            _debug_write(b, spans, c.reads, c.qnames, ci)
+            ci += 1
 
     add_percentile(genotypes_by_repeat)
 
@@ -172,6 +203,9 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     gt_fh.close()
     bounds_fh.close()
     unplaced_fh.close()
+    if debug:
+        span_fh.close()
+        reads_fh.close()
     if verbose:
         print(
             f"wrote genotypes to {output_prefix}-genotype.txt", file=sys.stderr
@@ -189,9 +223,11 @@ def call_main(argv):
     p.add_argument("-b", "--bounds", default="")
     p.add_argument("-o", "--output-prefix", default="strling")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="also write -reads.txt/-spanning.txt evidence files")
     p.add_argument("bam")
     p.add_argument("bin")
     a = p.parse_args(argv)
     run_call(a.bam, a.bin, a.fasta or None, a.min_support, a.min_clip,
              a.min_clip_total, a.min_mapq, a.loci or None, a.bounds or None,
-             a.output_prefix, a.verbose)
+             a.output_prefix, a.verbose, a.debug)
