@@ -399,10 +399,10 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     """
     from strling_tpu.core.genome_index import genome_repeats as build_gi
     from strling_tpu.io.extract_native import NativeExtractor, native_frag_hist
-    from strling_tpu.ops.kmer import scan_codes
+    from strling_tpu.ops.kmer import scan_codes_dispatch
     from strling_tpu.utils import fraglen
 
-    frag_dist = native_frag_hist(bam)
+    frag_dist, max_read_len = native_frag_hist(bam, return_max_len=True)
     frag_median = fraglen.median(frag_dist)
     if verbose:
         print(f"Calculated median fragment length:{frag_median}", file=sys.stderr)
@@ -414,16 +414,25 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     if genome_index is None and fasta:
         genome_index = build_gi(fasta, opts, genome_repeats_path or "")
 
+    # transfer width adapted to the data (150bp reads move 160-byte rows)
+    Lcap = max(32, ((max_read_len + 7) // 8) * 8) if max_read_len else None
     ne = NativeExtractor(
-        bam, proportion_repeat, min_mapq, frag_median, genome_index=genome_index
+        bam, proportion_repeat, min_mapq, frag_median,
+        genome_index=genome_index, Lmax=Lcap,
     )
     print("[strling] collecting str-like reads", file=sys.stderr)
     t0 = time.time()
 
-    def scan_fn(bases, lengths, props):
-        return scan_codes(bases, lengths, props, backend=backend)
+    def dispatch_fn(bases, lengths, props):
+        R = len(lengths)
+        bucket = next(
+            (b for b in NativeExtractor.BUCKETS if b >= R), ne.rows_cap
+        )
+        return scan_codes_dispatch(
+            bases, lengths, props, backend=backend, bucket=bucket
+        )
 
-    tb = ne.run(scan_fn)
+    tb = ne.run(dispatch_fn)
     if verbose:
         dt = max(1e-9, time.time() - t0)
         print(

@@ -17,6 +17,7 @@
 
 #include <cassert>
 #include <cmath>
+#include <deque>
 #include <unordered_map>
 
 namespace {
@@ -143,7 +144,10 @@ struct Engine {
 
   std::unordered_map<std::string, Tread> tbl;
   std::vector<Tread> out;
-  std::vector<Pending> pending;
+  // FIFO of batches awaiting kernel results (enables Python-side pipelining:
+  // the next batch is read+packed while the device scans the previous one)
+  std::deque<std::vector<Pending>> queue;
+  std::vector<Pending> pending;  // batch being built
   std::vector<KernelResult> results;
   int phase = 0;  // 0 main scan, 1 no-coor scan, 2 done
   int64_t nreads = 0;
@@ -273,6 +277,10 @@ struct Engine {
       pending.push_back(std::move(p));
     }
     *n_records = (int64_t)pending.size();
+    if (!pending.empty()) {
+      queue.push_back(std::move(pending));
+      pending.clear();
+    }
     return rows;
   }
 
@@ -348,9 +356,15 @@ struct Engine {
     }
   }
 
-  // run the state machine over the buffered records (extract.nim:192-248)
+  // run the state machine over the OLDEST queued batch (extract.nim:192-248)
   void feed() {
-    for (const Pending& p : pending) {
+    if (queue.empty()) {
+      results.clear();
+      return;
+    }
+    std::vector<Pending> batch = std::move(queue.front());
+    queue.pop_front();
+    for (const Pending& p : batch) {
       nreads++;
       Tread tr;
       tr.tid = p.tid;
@@ -413,7 +427,6 @@ struct Engine {
         }
       }
     }
-    pending.clear();
     results.clear();
   }
 };
@@ -500,14 +513,16 @@ int64_t sio_ex_get_treads(void* ve, int32_t* tid, uint32_t* position,
 
 const char* sio_ex_error(void* ve) { return ((Engine*)ve)->err.c_str(); }
 
-// Native fragment-length histogram pre-pass (utils.nim:86-111)
+// Native fragment-length histogram pre-pass (utils.nim:86-111).
+// Also reports the max read length seen (for adaptive transfer width).
 int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
-                  uint32_t* hist /*4096*/) {
+                  uint32_t* hist /*4096*/, int32_t* max_read_len) {
   auto* h = (sio::Handle*)bam_handle;
   BamIter it;
   it.bam = &h->bam;
   it.mode = 0;
   memset(hist, 0, 4096 * sizeof(uint32_t));
+  *max_read_len = 0;
   std::vector<int32_t> skipped;
   BamRec r;
   int64_t i = -1;
@@ -516,6 +531,7 @@ int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
     int rc = it.next(&r);
     if (rc <= 0) break;
     i++;
+    *max_read_len = std::max(*max_read_len, r.l_seq);
     if (!(r.flag & FLAG_PROPER_PAIR)) continue;
     if (r.flag & (FLAG_SUPPLEMENTARY | FLAG_SECONDARY)) continue;
     if (r.isize < 0) continue;

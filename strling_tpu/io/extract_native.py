@@ -38,7 +38,9 @@ def _bind(lib):
         P(np.uint8), P(np.uint8), P(np.uint8), P(np.uint8), C.c_char_p,
         C.c_int64, P(np.int64),
     ]
-    lib.sio_frag_hist.argtypes = [C.c_void_p, C.c_int64, C.c_int64, P(np.uint32)]
+    lib.sio_frag_hist.argtypes = [
+        C.c_void_p, C.c_int64, C.c_int64, P(np.uint32), C.POINTER(C.c_int32),
+    ]
     lib.sio_ex_error.restype = C.c_char_p
     lib.sio_ex_error.argtypes = [C.c_void_p]
 
@@ -56,24 +58,34 @@ def _lib():
 
 
 def native_frag_hist(bam: Bam, skip_reads: int = 100_000,
-                     n_reads: int = 2_000_000) -> np.ndarray:
+                     n_reads: int = 2_000_000,
+                     return_max_len: bool = False):
     lib = _lib()
     hist = np.zeros(4096, np.uint32)
-    lib.sio_frag_hist(bam._h, skip_reads, n_reads, hist)
+    maxlen = C.c_int32(0)
+    lib.sio_frag_hist(bam._h, skip_reads, n_reads, hist, C.byref(maxlen))
+    if return_max_len:
+        return hist, int(maxlen.value)
     return hist
 
 
 class NativeExtractor:
+    #: fixed kernel row shapes (remote TPU compiles are minutes each, so rows
+    #: pad up to the smallest covering tier; each tier compiles once, cached)
+    BUCKETS = (4096, 16384, 65536)
+
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 32768):
+                 batch_records: int = 32768, Lmax: int | None = None):
         self.lib = _lib()
         self.bam = bam
-        self.Lmax = bam.Lmax
+        # transfer width: the max read length (rounded up) bounds the packed
+        # row width; 150bp data moves 160-byte rows instead of 256
+        self.Lmax = min(bam.Lmax, Lmax) if Lmax else bam.Lmax
         self.batch_records = batch_records
-        self.rows_cap = batch_records * 2 + 8
+        self.rows_cap = batch_records * 2
         self._e = self.lib.sio_ex_create(
-            bam._h, proportion_repeat, min_mapq, median_fragment_length, bam.Lmax
+            bam._h, proportion_repeat, min_mapq, median_fragment_length, self.Lmax
         )
         if genome_index is not None:
             name_to_tid = {t.name: t.tid for t in bam.targets}
@@ -107,30 +119,42 @@ class NativeExtractor:
             raise IOError(self.lib.sio_ex_error(self._e).decode())
         return int(rows), int(n_records.value), bases, lengths, props
 
-    def run(self, scan_fn) -> TreadBatch:
-        """Strict lockstep: scan_fn(bases [R, L], lengths, props) ->
-        (code, len, count) int32 numpy arrays (the device kernel); results are
-        fed back into the engine, which runs the pairing state machine.
-
-        NOTE: the engine holds one pending batch at a time, so the loop is
-        next -> scan -> feed. (A double-buffered engine for device/host
-        overlap is a planned optimization.)
-        """
+    def _feed(self, result):
         lib = _lib()
         empty = np.zeros(0, np.int32)
+        if result is None:
+            lib.sio_ex_feed(self._e, empty, empty, empty, 0)
+        else:
+            code, ulen, cnt = result
+            lib.sio_ex_feed(
+                self._e, np.ascontiguousarray(code, np.int32),
+                np.ascontiguousarray(ulen, np.int32),
+                np.ascontiguousarray(cnt, np.int32), len(code),
+            )
+
+    def run(self, dispatch_fn) -> TreadBatch:
+        """Pipelined loop: dispatch_fn(bases [R, L], lengths, props) returns a
+        zero-arg fetch closure (the async device dispatch). While the device
+        scans batch i, the engine reads+packs batch i+1; feeds are FIFO.
+        """
+        lib = _lib()
+        inflight = None  # fetch closure for the oldest queued batch, or
+        # "empty" sentinel for a fast-path-only batch
+        EMPTY = "empty"
         while True:
             rows, n_records, bases, lengths, props = self._next()
-            if rows > 0:
-                code, ulen, cnt = scan_fn(bases[:rows], lengths[:rows], props[:rows])
-                lib.sio_ex_feed(
-                    self._e, np.ascontiguousarray(code, np.int32),
-                    np.ascontiguousarray(ulen, np.int32),
-                    np.ascontiguousarray(cnt, np.int32), rows,
-                )
-            elif n_records > 0:
-                lib.sio_ex_feed(self._e, empty, empty, empty, 0)
-            if n_records == 0 and lib.sio_ex_done(self._e):
+            if inflight is not None:
+                self._feed(None if inflight is EMPTY else inflight())
+                inflight = None
+            if n_records > 0:
+                if rows > 0:
+                    inflight = dispatch_fn(bases[:rows], lengths[:rows], props[:rows])
+                else:
+                    inflight = EMPTY
+            elif lib.sio_ex_done(self._e):
                 break
+        if inflight is not None:
+            self._feed(None if inflight is EMPTY else inflight())
         return self.treads()
 
     @property

@@ -280,11 +280,15 @@ def ascii_to_codes(unit: np.ndarray, unit_len: np.ndarray) -> np.ndarray:
     return code.astype(np.int32)
 
 
-def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
-               backend: str = "auto", bucket: int = 4096):
-    """Run the repeat detector and return packed (code, len, count) int32
-    arrays — the native extract engine's result format. Rows are padded to
-    `bucket` multiples so jit shapes stay bounded."""
+def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
+                        props: np.ndarray, backend: str = "auto",
+                        bucket: int = 4096):
+    """Asynchronously dispatch the repeat detector; returns a zero-arg fetch
+    closure producing packed (code, len, count) int32 numpy arrays.
+
+    Rows are padded to `bucket` multiples so jit shapes stay bounded; the
+    dispatch returns immediately (device work overlaps host work until the
+    closure is called)."""
     R = len(lengths)
     padded = max(bucket, ((R + bucket - 1) // bucket) * bucket)
     if padded != R:
@@ -298,11 +302,26 @@ def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
         code, ulen, cnt = _pallas_jit(
             jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
         )
-        code = np.asarray(code)[:R]
-        return code, np.asarray(ulen)[:R], np.asarray(cnt)[:R]
+
+        def fetch():
+            return (
+                np.asarray(code)[:R], np.asarray(ulen)[:R], np.asarray(cnt)[:R]
+            )
+
+        return fetch
     unit, ulen, cnt = _get_repeat_jit(
         jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
     )
-    unit = np.asarray(unit)[:R]
-    ulen = np.asarray(ulen)[:R]
-    return ascii_to_codes(unit, ulen), ulen, np.asarray(cnt)[:R]
+
+    def fetch():
+        u = np.asarray(unit)[:R]
+        ul = np.asarray(ulen)[:R]
+        return ascii_to_codes(u, ul), ul, np.asarray(cnt)[:R]
+
+    return fetch
+
+
+def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
+               backend: str = "auto", bucket: int = 4096):
+    """Synchronous scan_codes_dispatch."""
+    return scan_codes_dispatch(bases, lengths, props, backend, bucket)()

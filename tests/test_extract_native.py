@@ -50,12 +50,12 @@ def test_native_matches_python_with_index(str_bam):
 def test_native_small_batches(str_bam):
     """Batch boundaries must not change pairing results."""
     from strling_tpu.io.extract_native import NativeExtractor
-    from strling_tpu.ops.kmer import scan_codes
+    from strling_tpu.ops.kmer import scan_codes_dispatch
 
     bam = Bam(str_bam)
     fd = native_frag_hist(bam)
     med = fraglen.median(fd)
     ne = NativeExtractor(bam, 0.8, 40, med, batch_records=64)
-    tb_small = ne.run(lambda b, l, p: scan_codes(b, l, p, bucket=256))
+    tb_small = ne.run(lambda b, l, p: scan_codes_dispatch(b, l, p, bucket=256))
     tb_py, _, _ = extract(Bam(str_bam), None, None)
     _cmp(tb_small, tb_py)
