@@ -71,12 +71,14 @@ def native_frag_hist(bam: Bam, skip_reads: int = 100_000,
 
 class NativeExtractor:
     #: fixed kernel row shapes (remote TPU compiles are minutes each, so rows
-    #: pad up to the smallest covering tier; each tier compiles once, cached)
-    BUCKETS = (4096, 16384, 65536)
+    #: pad up to the smallest covering tier; each tier compiles once, cached).
+    #: Grids beyond 32 tiles have shown pathological compile times on the
+    #: remote service, so the largest tier stays at 32768 rows.
+    BUCKETS = (4096, 16384, 32768)
 
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 32768, Lmax: int | None = None):
+                 batch_records: int = 16384, Lmax: int | None = None):
         self.lib = _lib()
         self.bam = bam
         # transfer width: the max read length (rounded up) bounds the packed
