@@ -246,6 +246,10 @@ def run_outliers(genotype_files: list[str], unplaced_files: list[str],
         index="locus", columns="sample", values="sum_str_log"
     )
 
+    if len(sum_str_log_wide) == 0:
+        # every locus was all-zero/NaN; the reference crashes in pandas here —
+        # surface its intended "z score table is empty" error instead
+        raise ValueError("z score table is empty")
     locus_estimates_all = sum_str_log_wide.apply(hubers_est, axis=1)
     locus_estimates = locus_estimates_all[["mu", "sd"]].astype("float64")
     locus_methods = locus_estimates_all["method"]
