@@ -208,8 +208,18 @@ def unpack_tread(u: _Unpacker):
 
 def write_bin(path: str, treads: TreadBatch, frag_dist: np.ndarray,
               header_text: str, proportion_repeat: float, min_mapq: int,
-              software_version: str = STRLING_VERSION):
-    """extract.nim:331-348."""
+              software_version: str = STRLING_VERSION, native: bool = True):
+    """extract.nim:331-348. Uses the C++ codec when available (byte-identical
+    to the Python path; tests enforce it)."""
+    if native:
+        try:
+            _native_write_bin(
+                path, treads, frag_dist, header_text, proportion_repeat,
+                min_mapq, software_version,
+            )
+            return
+        except OSError:
+            pass
     data = treads.data
     qnames = treads.qnames
     with open(path, "wb") as fs:
@@ -251,8 +261,16 @@ class Extracted:
 
 
 def read_bin(path: str, drop_unplaced: bool = False, verbose: bool = False,
-             targets: list | None = None, requested_tid: int | None = None) -> Extracted:
+             targets: list | None = None, requested_tid: int | None = None,
+             native: bool = True) -> Extracted:
     """unpack.nim:58-133 including cross-header tid remapping."""
+    if native:
+        try:
+            return _native_read_bin(
+                path, drop_unplaced, verbose, targets, requested_tid
+            )
+        except OSError:
+            pass
     with open(path, "rb") as fh:
         buf = fh.read()
     assert buf[:3] == MAGIC, (
@@ -324,3 +342,176 @@ def _same(a, b) -> bool:
 
 def same_targets(a, b) -> bool:
     return _same(a, b)
+
+
+# ------------------------------------------------------------- native codec
+
+_nlib = None
+
+
+def _native_lib():
+    global _nlib
+    if _nlib is None:
+        import ctypes as C
+
+        from strling_tpu.io.build import lib_path
+
+        lib = C.CDLL(lib_path())
+        P = np.ctypeslib.ndpointer
+        lib.sio_bin_write.restype = C.c_int
+        lib.sio_bin_write.argtypes = [
+            C.c_char_p, C.c_int16, C.c_char_p, C.c_float, C.c_uint8,
+            P(np.uint32), C.c_char_p, C.c_int64, C.c_int64,
+            P(np.int32), P(np.uint32), P(np.uint8), P(np.uint16),
+            P(np.uint8), P(np.uint8), P(np.uint8), P(np.uint8),
+            C.c_char_p, P(np.int64),
+        ]
+        lib.sio_bin_read.restype = C.c_void_p
+        lib.sio_bin_read.argtypes = [C.c_char_p, C.c_int, C.c_int, C.c_int32]
+        lib.sio_bin_error.restype = C.c_char_p
+        lib.sio_bin_error.argtypes = [C.c_void_p]
+        for name, res in [
+            ("sio_bin_n", C.c_int64), ("sio_bin_n_declared", C.c_int32),
+            ("sio_bin_proportion", C.c_float), ("sio_bin_min_mapq", C.c_int),
+            ("sio_bin_qnames_size", C.c_int64),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = [C.c_void_p]
+        lib.sio_bin_header.restype = C.c_int64
+        lib.sio_bin_header.argtypes = [C.c_void_p, C.c_char_p, C.c_int64]
+        lib.sio_bin_soft_version.argtypes = [C.c_void_p, C.c_char_p]
+        lib.sio_bin_frag.argtypes = [C.c_void_p, P(np.uint32)]
+        lib.sio_bin_fill.argtypes = [
+            C.c_void_p, P(np.int32), P(np.uint32), P(np.uint8), P(np.uint16),
+            P(np.uint8), P(np.uint8), P(np.uint8), P(np.uint8), C.c_char_p,
+            P(np.int64),
+        ]
+        lib.sio_bin_free.argtypes = [C.c_void_p]
+        _nlib = lib
+    return _nlib
+
+
+def _native_write_bin(path, treads: TreadBatch, frag_dist, header_text,
+                      proportion_repeat, min_mapq, software_version):
+    import ctypes as C
+
+    lib = _native_lib()
+    data = treads.data
+    n = len(data)
+    qnames = treads.qnames or [""] * n
+    qblob = "".join(qnames).encode()
+    qoff = np.zeros(n + 1, np.int64)
+    np.cumsum([len(q.encode()) for q in qnames], out=qoff[1:]) if n else None
+    rep = np.ascontiguousarray(data["repeat"]).view(np.uint8).reshape(n, 6)
+    rc = lib.sio_bin_write(
+        path.encode(), BIN_FMT_VERSION, as_array9(software_version),
+        float(proportion_repeat), int(min_mapq),
+        np.ascontiguousarray(frag_dist, np.uint32), header_text.encode(),
+        len(header_text.encode()), n,
+        np.ascontiguousarray(data["tid"]), np.ascontiguousarray(data["position"]),
+        np.ascontiguousarray(rep.reshape(-1)), np.ascontiguousarray(data["flag"]),
+        np.ascontiguousarray(data["split"]),
+        np.ascontiguousarray(data["mapping_quality"]),
+        np.ascontiguousarray(data["repeat_count"]),
+        np.ascontiguousarray(data["align_length"]), qblob, qoff,
+    )
+    if rc != 0:
+        raise OSError(f"native bin write failed: {path}")
+
+
+def _native_read_bin(path, drop_unplaced, verbose, targets, requested_tid):
+    import ctypes as C
+
+    lib = _native_lib()
+    # with a target remap the requested_tid/drop filters must apply after
+    # remapping, so read unfiltered and filter in numpy
+    pre_filter = targets is None
+    h = lib.sio_bin_read(
+        path.encode(), int(drop_unplaced and pre_filter),
+        int(requested_tid is not None and pre_filter),
+        int(requested_tid) if (requested_tid is not None and pre_filter) else 0,
+    )
+    if not h:
+        raise OSError(f"couldn't open bin {path}")
+    try:
+        err = lib.sio_bin_error(h).decode()
+        if err:
+            if "magic" in err:
+                raise AssertionError(
+                    '[strling] expected bin file to start with "STR". This may '
+                    "indicate that this bin file was generated by an old "
+                    "version of STRling."
+                )
+            raise AssertionError(f"[strling] bin read error: {err}")
+        n = int(lib.sio_bin_n(h))
+        data = np.zeros(n, TREAD_DTYPE)
+        rep = np.zeros(n * 6, np.uint8)
+        qsize = int(lib.sio_bin_qnames_size(h))
+        qbuf = C.create_string_buffer(qsize + 1)
+        qoff = np.zeros(n + 1, np.int64)
+        tid = np.zeros(n, np.int32)
+        position = np.zeros(n, np.uint32)
+        flag = np.zeros(n, np.uint16)
+        split = np.zeros(n, np.uint8)
+        mapq = np.zeros(n, np.uint8)
+        rcnt = np.zeros(n, np.uint8)
+        alen = np.zeros(n, np.uint8)
+        lib.sio_bin_fill(h, tid, position, rep, flag, split, mapq, rcnt, alen,
+                         qbuf, qoff)
+        frag = np.zeros(4096, np.uint32)
+        lib.sio_bin_frag(h, frag)
+        hlen = lib.sio_bin_header(h, None, 0)
+        hbuf = C.create_string_buffer(int(hlen) + 1)
+        lib.sio_bin_header(h, hbuf, hlen)
+        header = hbuf.raw[:hlen].decode()
+        proportion = float(lib.sio_bin_proportion(h))
+        min_mapq = int(lib.sio_bin_min_mapq(h))
+        n_declared = int(lib.sio_bin_n_declared(h))
+    finally:
+        lib.sio_bin_free(h)
+
+    data["tid"] = tid
+    data["position"] = position
+    data["repeat"] = rep.reshape(n, 6).view("S6").reshape(n)
+    data["flag"] = flag
+    data["split"] = split
+    data["mapping_quality"] = mapq
+    data["repeat_count"] = rcnt
+    data["align_length"] = alen
+    blob = qbuf.raw[:qsize]
+    qnames = [blob[qoff[i]: qoff[i + 1]].decode() for i in range(n)]
+
+    bin_targets = parse_header_targets(header)
+    out_targets = bin_targets
+    if targets is not None and len(targets) > 0:
+        if len(targets) != len(bin_targets) or not _same(bin_targets, targets):
+            tidmap = {-1: -1}
+            byname = {t.name: t for t in targets}
+            for bt in bin_targets:
+                ot = byname.get(bt.name)
+                tidmap[bt.tid] = ot.tid if ot is not None else -1
+            out_targets = targets
+            lut = np.array(
+                [tidmap.get(t, -1) for t in range(len(bin_targets))], np.int32
+            )
+            old = data["tid"]
+            data["tid"] = np.where(old >= 0, lut[np.maximum(old, 0)], -1)
+        # apply post-remap filters
+        keep = np.ones(n, bool)
+        if requested_tid is not None:
+            keep &= data["tid"] == requested_tid
+        if drop_unplaced:
+            keep &= data["tid"] >= 0
+        if not keep.all():
+            data = data[keep]
+            qnames = [q for q, k in zip(qnames, keep) if k]
+
+    if requested_tid is None and not drop_unplaced:
+        assert len(data) == n_declared, (
+            f"[strling] expected {n_declared} got {len(data)}"
+        )
+    else:
+        assert len(data) <= n_declared
+    return Extracted(out_targets, frag, TreadBatch(data=data, qnames=list(qnames)),
+                     proportion, min_mapq)

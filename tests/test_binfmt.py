@@ -96,3 +96,42 @@ def test_bin_tid_remap(tmp_path):
     tids = [t.tid for t in ex.reads.to_treads()]
     assert tids == [1, 0, -1]
     assert ex.targets == new_targets
+
+
+def test_native_writer_byte_identical(tmp_path):
+    tb = mk_treads()
+    frag = np.zeros(4096, np.uint32)
+    frag[123] = 7
+    p1 = tmp_path / "py.bin"
+    p2 = tmp_path / "nat.bin"
+    write_bin(str(p1), tb, frag, HEADER, 0.8, 40, native=False)
+    write_bin(str(p2), tb, frag, HEADER, 0.8, 40, native=True)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_native_reader_matches(tmp_path):
+    from strling_tpu.io.bam import Target
+
+    p = tmp_path / "x.bin"
+    write_bin(str(p), mk_treads(), np.zeros(4096, np.uint32), HEADER, 0.8, 40)
+    for kwargs in [
+        {}, {"drop_unplaced": True}, {"requested_tid": 1},
+        {"targets": [Target(0, "chr2", 50000), Target(1, "chr1", 100000)]},
+        {"targets": [Target(0, "chr2", 50000), Target(1, "chr1", 100000)],
+         "drop_unplaced": True},
+    ]:
+        a = read_bin(str(p), native=True, **kwargs)
+        b = read_bin(str(p), native=False, **kwargs)
+        assert a.reads.to_treads() == b.reads.to_treads(), kwargs
+        assert a.targets == b.targets
+        np.testing.assert_array_equal(a.fragment_distribution, b.fragment_distribution)
+
+
+def test_native_reader_empty(tmp_path):
+    from strling_tpu.core.tread import TreadBatch, TREAD_DTYPE
+
+    p = tmp_path / "e.bin"
+    tb = TreadBatch(data=np.zeros(0, TREAD_DTYPE), qnames=[])
+    write_bin(str(p), tb, np.zeros(4096, np.uint32), HEADER, 0.8, 40)
+    ex = read_bin(str(p))
+    assert len(ex.reads) == 0
