@@ -186,8 +186,10 @@ def simulate_allele(fai: Fasta, allele: Allele, frag_hist: np.ndarray,
         delta = deltas[ihap]
         if r2s + read_length > len(hap):
             continue
+        # BAM SEQ is stored in reference (aligned) orientation for both mates;
+        # the FASTQ writer reverse-complements read2 back to read orientation
         r1 = hap[r1s : r1s + read_length]
-        r2 = reverse_complement(hap[r2s : r2s + read_length])
+        r2 = hap[r2s : r2s + read_length]
         qname = f"{r1s + allele.position}_{r2s + allele.position}_{i}_{ihap}"
 
         a1 = _align_back(r1s, r1s + read_length, off, delta, read_length)
@@ -213,7 +215,8 @@ def simulate_allele(fai: Fasta, allele: Allele, frag_hist: np.ndarray,
 
 def simulate_str_bam(fasta: str, alleles: list[Allele], out_bam: str,
                      frag_hist: np.ndarray, depth: int = 30, flank: int = 20000,
-                     read_length: int = 150, seed: int = 42):
+                     read_length: int = 150, seed: int = 42,
+                     fastq_prefix: str | None = None):
     fai = Fasta(fasta)
     rng = np.random.default_rng(seed)
     targets = [(name, fai.chrom_len(name)) for name in fai.names]
@@ -225,6 +228,21 @@ def simulate_str_bam(fasta: str, alleles: list[Allele], out_bam: str,
             fai, allele, frag_hist, flank, depth, read_length, rng, records,
             tid_of[allele.chrom], ref_start,
         )
+    if fastq_prefix:
+        # reference-style paired FASTQ output (simulate_reads.nim:92-99), for
+        # users aligning with their own bwa/minimap
+        qual = "I" * read_length
+        with open(fastq_prefix + "_r1.fastq", "w") as f1, open(
+            fastq_prefix + "_r2.fastq", "w"
+        ) as f2:
+            for r in records:
+                if r.flag & 0x40:
+                    f1.write(f"@{r.qname}\n{r.seq}\n+\n{qual[:len(r.seq)]}\n")
+                else:
+                    f2.write(
+                        f"@{r.qname}\n{reverse_complement(r.seq)}\n+\n"
+                        f"{qual[:len(r.seq)]}\n"
+                    )
     records.sort(key=lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos))
     header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in targets
@@ -239,6 +257,8 @@ def simulate_main(argv):
     p.add_argument("--depth", type=int, default=30)
     p.add_argument("--read-length", type=int, default=150)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fastq", action="store_true",
+                   help="also write <prefix>_r1/_r2.fastq (reference-style)")
     p.add_argument("--output", required=True, help="output prefix (<prefix>.bam)")
     p.add_argument(
         "bam_or_hist",
@@ -277,6 +297,6 @@ def simulate_main(argv):
     simulate_str_bam(
         args.fasta, alleles, args.output + ".bam", frag_hist,
         depth=args.depth, flank=args.flank, read_length=args.read_length,
-        seed=args.seed,
+        seed=args.seed, fastq_prefix=args.output if args.fastq else None,
     )
     print(f"wrote {args.output}.bam", file=sys.stderr)
