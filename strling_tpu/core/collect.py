@@ -13,7 +13,12 @@ import numpy as np
 
 from strling_tpu.core.cluster import Bounds
 from strling_tpu.core.spanning import cumulative, expected_spanning_probability
-from strling_tpu.core.tread import FLAG_DUP, FLAG_SECONDARY, FLAG_SUPPLEMENTARY
+from strling_tpu.core.tread import (
+    FLAG_DUP,
+    FLAG_REVERSE,
+    FLAG_SECONDARY,
+    FLAG_SUPPLEMENTARY,
+)
 from strling_tpu.io.sam import Record
 from strling_tpu.utils.fraglen import median, median_depth, percentile
 
@@ -177,10 +182,10 @@ def batch_records(batch) -> list[Record]:
     return out
 
 
-def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
-             min_mapq: int = 20, max_size: int = 5000):
-    """collect.nim:130-182. Returns (support list, median_depth,
-    expected_spanners float32)."""
+def spanners_reference(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
+                       min_mapq: int = 20, max_size: int = 5000):
+    """collect.nim:130-182, per-record port. Kept as the executable spec for
+    the vectorized `spanners` (equivalence-tested)."""
     pairs: dict[str, list[Record]] = {}
     window_left = bounds.left - window
     window_right = bounds.right + window
@@ -225,6 +230,119 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
         expected = np.float32(np.float64(expected) + v)
 
     for qname, pair in pairs.items():
+        if len(pair) != 2:
+            continue
+        s = Support()
+        if spanning_fragment(pair[0], pair[1], bounds, s, frag_sizes):
+            support.append(s)
+
+    depths = np.cumsum(depths)
+    return support, median_depth(depths), expected
+
+
+def _expected_probs_vec(cd: np.ndarray, start, stop, flag, event_start: int,
+                        event_stop: int, min_span: int = 20) -> np.ndarray:
+    """Vectorized expected_spanning_probability (spanning.nim:20-49)."""
+    rev = (flag & FLAG_REVERSE) != 0
+    left_case = start < (event_stop - min_span)
+    ev = event_stop - event_start
+    dist_l = event_start - start
+    dist_r = stop - event_stop
+    ok_l = left_case & ~rev & (dist_l >= 0) & (dist_l + ev >= min_span)
+    ok_r = ~left_case & rev & (dist_r >= 0) & (dist_r + ev >= min_span)
+    dist = np.where(left_case, dist_l, dist_r) + min_span + ev
+    ok = (ok_l | ok_r) & (dist >= 0) & (dist <= len(cd) - 1)
+    probs = np.zeros(len(start), np.float64)
+    idx = np.where(ok, dist, 0)
+    probs[ok] = 1.0 - cd[idx[ok]].astype(np.float64)
+    return probs
+
+
+def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
+             min_mapq: int = 20, max_size: int = 5000):
+    """collect.nim:130-182, vectorized over the window's read batches.
+
+    The spanning-probability model, depth diff-array and eligibility masks
+    run as numpy ops; per-read Python survives only for reads that overlap
+    the bounds and for complete pairs. Semantics equivalence-tested against
+    `spanners_reference`.
+    """
+    window_left = bounds.left - window
+    window_right = bounds.right + window
+    cd = cumulative(frag_sizes)
+    depths = np.zeros(window_right - window_left, np.int64)
+    support: list[Support] = []
+    all_qnames: list[str] = []
+    all_probs: list[np.ndarray] = []
+    pair_qnames: list[str] = []
+    pair_records: list[Record] = []
+
+    for batch in bam.query(bounds.tid, max(0, window_left), window_right):
+        flag = batch.flag.astype(np.int64)
+        keep = (
+            (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_DUP)) == 0
+        ) & (batch.mapq >= min_mapq)
+        if not keep.any():
+            continue
+        start = batch.pos.astype(np.int64)
+        stop = batch.end_pos.astype(np.int64)
+        probs = _expected_probs_vec(cd, start, stop, flag, bounds.left, bounds.right)
+        qn = batch.qnames()
+
+        k = np.nonzero(keep)[0]
+        all_probs.append(probs[k])
+        all_qnames.extend(qn[i] for i in k)
+        np.add.at(depths, np.maximum(0, start[k] - window_left - 1), 1)
+        np.add.at(depths, np.minimum(len(depths) - 1, stop[k] - window_left - 1), -1)
+
+        overlap = keep & (
+            np.maximum(start, bounds.left) <= np.minimum(stop, bounds.right)
+        ) & (batch.tid == bounds.tid)
+        pair_ok = keep & (batch.tid == batch.mate_tid) & (
+            np.abs(batch.isize) <= max_size
+        )
+        for i in np.nonzero(overlap | pair_ok)[0]:
+            cig = batch.cigar_of(i)
+            rec = Record(
+                qname=qn[i], flag=int(flag[i]), tid=int(batch.tid[i]),
+                pos=int(start[i]), mapq=int(batch.mapq[i]),
+                cigar=[(int(c) >> 4, int(c) & 0xF) for c in cig],
+                mate_tid=int(batch.mate_tid[i]), mate_pos=int(batch.mate_pos[i]),
+                isize=int(batch.isize[i]), seq=batch.seq_str(i),
+            )
+            if overlap[i]:
+                s = Support()
+                if overlapping_read(rec, bounds, s):
+                    support.append(s)
+            if pair_ok[i]:
+                pair_qnames.append(qn[i])
+                pair_records.append(rec)
+
+    # high-depth abort (collect.nim:167-170): the pair-table size only grows,
+    # so the final distinct count triggers iff it triggered mid-stream
+    if len(set(pair_qnames)) > 20_000:
+        return [], -1, np.float32(0)
+
+    # expected spanners: per-qname sequential averaging of positive probs
+    # (collect.nim:144-149) then a float32 accumulation (collect.nim:172-173)
+    by_qname: dict[str, float] = {}
+    if all_probs:
+        probs_cat = np.concatenate(all_probs)
+        for j in np.nonzero(probs_cat > 0)[0]:
+            q = all_qnames[j]
+            p = float(probs_cat[j])
+            if q in by_qname:
+                by_qname[q] = 0.5 * (by_qname[q] + p)
+            else:
+                by_qname[q] = p
+    expected = np.float32(0)
+    for v in by_qname.values():
+        expected = np.float32(np.float64(expected) + v)
+
+    groups: dict[str, list[Record]] = {}
+    for q, r in zip(pair_qnames, pair_records):
+        groups.setdefault(q, []).append(r)
+    for q, pair in groups.items():
         if len(pair) != 2:
             continue
         s = Support()

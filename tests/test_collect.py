@@ -124,3 +124,42 @@ def test_genotyper_anchored_lm():
     v = anchored_lm(100, 30.0)
     y = math.log2(100 / 30.0 + 1) * 0.7565329 + 4.3558142
     assert abs(v - 2 ** y) < 1e-9
+
+
+def test_spanners_vectorized_equivalence():
+    """Vectorized spanners == per-record reference port on a sim BAM."""
+    import tempfile
+
+    from strling_tpu.core.collect import spanners, spanners_reference
+    from strling_tpu.core.simulate import Allele, normal_hist, simulate_str_bam
+    from strling_tpu.io.bam import Bam
+    from strling_tpu.io.fasta import write_fasta
+
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(31)
+    seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 30000)])
+    seq = seq[:15000] + "CAG" * 12 + seq[15000:]
+    write_fasta(d + "/ref.fa", {"chr1": seq})
+    hist = np.zeros(4096, np.uint32)
+    hist[350:450] = 50
+    simulate_str_bam(d + "/ref.fa", [Allele("chr1", 15000, (0, 60), "CAG")],
+                     d + "/s.bam", hist, depth=30, flank=6000, seed=8)
+
+    for left, right, rep in [(15000, 15036, "CAG"), (14800, 14801, "AGC"),
+                             (15500, 15600, "A")]:
+        b = Bounds(tid=0, left=left, right=right, repeat=rep)
+        s1, d1, e1 = spanners(Bam(d + "/s.bam"), b, 500, hist)
+        s2, d2, e2 = spanners_reference(Bam(d + "/s.bam"), b, 500, hist)
+        assert d1 == d2
+        assert e1 == e2
+        assert [
+            (x.Type, x.SpanningFragmentLength, x.SpanningReadRepeatCount,
+             x.SpanningReadCigarInsertionLen, x.SpanningReadCigarDeletionLen,
+             x.qname)
+            for x in s1
+        ] == [
+            (x.Type, x.SpanningFragmentLength, x.SpanningReadRepeatCount,
+             x.SpanningReadCigarInsertionLen, x.SpanningReadCigarDeletionLen,
+             x.qname)
+            for x in s2
+        ], (left, right, rep)
