@@ -21,18 +21,27 @@ class TreadGroups:
     def from_batch(cls, tb) -> "TreadGroups":
         self = cls()
         data = tb.data
-        qn = np.array(tb.qnames if tb.qnames else [""] * len(data), dtype=object)
-        keys = list(zip(data["tid"].tolist(), [r.decode() for r in data["repeat"]]))
-        # bucket preserving first-seen key order (Nim table order is a hash
-        # artifact; see cluster.py docstring)
-        order: dict[tuple[int, str], list[int]] = {}
-        for i, k in enumerate(keys):
-            order.setdefault(k, []).append(i)
-        for k, idxs in order.items():
-            arr = data[idxs]
-            names = qn[idxs]
-            srt = np.argsort(arr["position"], kind="stable")
-            self.groups[k] = (arr[srt], names[srt])
+        n = len(data)
+        if n == 0:
+            return self
+        qn = np.array(
+            tb.qnames if tb.qnames else [""] * n, dtype=object
+        )
+        # vectorized bucketing: unique (tid, repeat) keys, first-seen order
+        # (Nim table order is a hash artifact; see cluster.py docstring),
+        # stably position-sorted within each group
+        sub = data[["tid", "repeat"]]
+        uniq, first_idx, inv = np.unique(
+            sub, return_index=True, return_inverse=True
+        )
+        perm = np.lexsort((data["position"], inv))  # stable
+        inv_sorted = inv[perm]
+        bounds_idx = np.searchsorted(inv_sorted, np.arange(len(uniq) + 1))
+        key_rank = np.argsort(first_idx, kind="stable")  # first-seen order
+        for kid in key_rank:
+            sl = perm[bounds_idx[kid]: bounds_idx[kid + 1]]
+            k = (int(uniq[kid]["tid"]), uniq[kid]["repeat"].decode())
+            self.groups[k] = (data[sl], qn[sl])
         return self
 
     def items(self):
