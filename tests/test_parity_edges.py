@@ -95,3 +95,35 @@ def test_overlapping_read_cigar_indel_wrap():
     assert overlapping_read(rec, b, s)
     assert s.Type == "SpanningRead"
     assert s.SpanningReadCigarInsertionLen == (200 + 100) % 256
+
+
+def test_same_position_pair_tie(tmp_path):
+    """pos == mate_pos: after_mate falls back to the cache-presence check
+    (extract.nim:60-61); native and Python engines must agree."""
+    from strling_tpu.core.extract import extract, extract_native
+
+    header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n"
+    seq_str = "AAG" * 33 + "A"
+    rng = np.random.default_rng(0)
+    rand = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 100)])
+    recs = [
+        # both mates at the same position; one is STR with mapq 0
+        BamRecord("tie1", 99, 0, 2000, 60, "100M", 0, 2000, 100, rand),
+        BamRecord("tie1", 147, 0, 2000, 0, "100M", 0, 2000, -100, seq_str),
+        # an N-heavy read pair (detector skips >20 Ns)
+        BamRecord("nn1", 99, 0, 3000, 60, "100M", 0, 3300, 400,
+                  "N" * 30 + rand[:70]),
+        BamRecord("nn1", 147, 0, 3300, 60, "100M", 0, 3000, -400, rand),
+        # zero-length-seq record (SEQ "*")
+        BamRecord("z1", 99, 0, 4000, 60, "100M", 0, 4300, 400, ""),
+        BamRecord("z1", 147, 0, 4300, 60, "100M", 0, 4000, -400, rand),
+    ]
+    p = tmp_path / "tie.bam"
+    write_bam(str(p), header, [("chr1", 100000)], recs)
+
+    tb_py, fd1, _ = extract(Bam(str(p)), None, None)
+    tb_nat, fd2, _ = extract_native(Bam(str(p)), None, None)
+    assert tb_py.to_treads() == tb_nat.to_treads()
+    # the tie pair's STR read got anchored by its mate
+    strs = [t for t in tb_py.to_treads() if t.qname == "tie1" and t.repeat]
+    assert strs and strs[0].repeat in ("AAG", "CTT")
