@@ -36,7 +36,7 @@ def _extract(argv):
     from strling_tpu.io.bam import Bam
     from strling_tpu.io.binfmt import write_bin
 
-    bam = Bam(args.bam)
+    bam = Bam(args.bam, fasta=args.fasta or None)
     treads, frag_dist, opts = extract_native(
         bam, args.fasta or None, args.genome_repeats or None,
         proportion_repeat=args.proportion_repeat, min_mapq=args.min_mapq,

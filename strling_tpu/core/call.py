@@ -62,7 +62,7 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     if bounds_path and not os.path.exists(bounds_path):
         raise SystemExit("couldn't open bounds file")
 
-    bam = Bam(bam_path)
+    bam = Bam(bam_path, fasta=fasta)
     frag_dist = fraglen.fragment_length_distribution(bam)
     frag_median = fraglen.median(frag_dist)
     if verbose:

@@ -50,7 +50,7 @@ def pull_region_main(argv):
     p.add_argument("region")
     a = p.parse_args(argv)
 
-    bam = Bam(a.bam)
+    bam = Bam(a.bam, fasta=a.fasta or None)
     tid, beg, end = _parse_region(a.region, bam.targets)
 
     records = []

@@ -27,6 +27,11 @@ def _load():
         _lib = C.CDLL(lib_path())
         _lib.sio_open.restype = C.c_void_p
         _lib.sio_open.argtypes = [C.c_char_p]
+        _lib.sio_set_fasta.argtypes = [C.c_void_p, C.c_char_p]
+        _lib.sio_rans_decode.restype = C.c_int64
+        _lib.sio_rans_decode.argtypes = [
+            C.c_char_p, C.c_int64, np.ctypeslib.ndpointer(np.uint8), C.c_int64,
+        ]
         _lib.sio_close.argtypes = [C.c_void_p]
         _lib.sio_nrefs.argtypes = [C.c_void_p]
         _lib.sio_ref_len.restype = C.c_int64
@@ -113,11 +118,16 @@ CIGAR_OPS = "MIDNSHP=X"
 class Bam:
     """A BAM file handle with batch iterators."""
 
-    def __init__(self, path: str, Lmax: int = 256, batch_size: int = 8192):
+    def __init__(self, path: str, Lmax: int = 256, batch_size: int = 8192,
+                 fasta: str | None = None):
         self._lib = _load()
         self._h = self._lib.sio_open(path.encode())
         if not self._h:
-            raise OSError(f"couldn't open bam {path}")
+            raise OSError(f"couldn't open bam/cram {path}")
+        if fasta:
+            # required to decode reference-based CRAM; no-op for BAM
+            if self._lib.sio_set_fasta(self._h, fasta.encode()) != 0:
+                raise OSError(f"couldn't open reference fasta {fasta}")
         self.path = path
         self.Lmax = Lmax
         self.batch_size = batch_size

@@ -1,0 +1,619 @@
+"""Pure-Python CRAM 3.0 writer (+ .crai index) and rANS4x8 codec.
+
+Used by tests and as a fixture generator: the environment has no
+samtools/htslib, so this is a second, independent implementation of the
+format that the native C++ reader (io/csrc/cram.cc) is validated against.
+Writes spec-compliant CRAM 3.0:
+
+- per-record features (X/S/I/i/D/N/H/P against a reference FASTA, or
+  verbatim 'b' base stretches when no reference is given, with RR=false)
+- detached mates and same-slice downstream-mate links (NF), choosing
+  downstream only when the spec's mate-reconstruction rules reproduce the
+  original fields exactly
+- external blocks compressed with gzip and rANS4x8 (orders 0 and 1)
+
+Round-trip caveat: CIGAR '='/'X' ops decode as 'M' (like htslib).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import struct
+import zlib
+
+from strling_tpu.io.bamwrite import BamRecord, ref_span
+
+CIGAR_OPS = "MIDNSHP=X"
+
+# ------------------------------------------------------------------ varints
+
+
+def itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([
+        0xF0 | (v >> 28), (v >> 20) & 0xFF, (v >> 12) & 0xFF, (v >> 4) & 0xFF,
+        v & 0x0F,
+    ])
+
+
+def ltf8(v: int) -> bytes:
+    v &= 0xFFFFFFFFFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    for extra, bits, prefix in (
+        (1, 6, 0x80), (2, 5, 0xC0), (3, 4, 0xE0), (4, 3, 0xF0),
+        (5, 2, 0xF8), (6, 1, 0xFC),
+    ):
+        if v < (1 << (bits + 8 * extra)):
+            b = [prefix | (v >> (8 * extra))]
+            for i in range(extra - 1, -1, -1):
+                b.append((v >> (8 * i)) & 0xFF)
+            return bytes(b)
+    if v < (1 << 56):
+        return bytes([0xFE]) + v.to_bytes(7, "big")
+    return bytes([0xFF]) + v.to_bytes(8, "big")
+
+
+# -------------------------------------------------------------- rANS 4x8
+
+RANS_LOW = 1 << 23
+TF_SHIFT = 12
+TOTFREQ = 1 << TF_SHIFT
+
+
+def _norm_freqs(F: list[int]) -> list[int]:
+    """Scale a 256-bin histogram so nonzero bins stay nonzero and sum=4096."""
+    tot = sum(F)
+    Fn = [0] * 256
+    for s in range(256):
+        if F[s]:
+            Fn[s] = max(1, F[s] * TOTFREQ // tot)
+    diff = TOTFREQ - sum(Fn)
+    order = sorted((s for s in range(256) if Fn[s]), key=lambda s: -Fn[s])
+    i = 0
+    while diff != 0:
+        s = order[i % len(order)]
+        step = 1 if diff > 0 else -1
+        if Fn[s] + step >= 1:
+            Fn[s] += step
+            diff -= step
+        i += 1
+    return Fn
+
+
+def _write_freqs(Fn: list[int]) -> bytes:
+    """The RLE frequency-table serialization (htslib rans_static layout)."""
+    out = bytearray()
+    rle = 0
+    for j in range(256):
+        if not Fn[j]:
+            continue
+        if rle:
+            rle -= 1
+        else:
+            out.append(j)
+            if j > 0 and Fn[j - 1]:
+                # start of a consecutive run: emit its length
+                run = 0
+                k = j + 1
+                while k < 256 and Fn[k]:
+                    run += 1
+                    k += 1
+                out.append(run)
+                rle = run
+        f = Fn[j]
+        if f < 128:
+            out.append(f)
+        else:
+            out.append(0x80 | (f >> 8))
+            out.append(f & 0xFF)
+    out.append(0)
+    return bytes(out)
+
+
+class _Enc:
+    """One rANS state emitting into a shared reverse buffer."""
+
+    __slots__ = ("x",)
+
+    def __init__(self):
+        self.x = RANS_LOW
+
+    def put(self, buf: bytearray, f: int, c: int):
+        x = self.x
+        x_max = ((RANS_LOW >> TF_SHIFT) << 8) * f
+        while x >= x_max:
+            buf.append(x & 0xFF)
+            x >>= 8
+        self.x = ((x // f) << TF_SHIFT) + (x % f) + c
+
+    def flush(self, buf: bytearray):
+        # forward stream holds the 4 state bytes little-endian
+        x = self.x
+        buf.append((x >> 24) & 0xFF)
+        buf.append((x >> 16) & 0xFF)
+        buf.append((x >> 8) & 0xFF)
+        buf.append(x & 0xFF)
+
+
+def rans_encode_o0(data: bytes) -> bytes:
+    assert data
+    F = [0] * 256
+    for b in data:
+        F[b] += 1
+    Fn = _norm_freqs(F)
+    C = [0] * 257
+    for s in range(256):
+        C[s + 1] = C[s] + Fn[s]
+    table = _write_freqs(Fn)
+    buf = bytearray()  # reverse stream
+    R = [_Enc() for _ in range(4)]
+    n = len(data)
+    rem = n & 3
+    for k in range(rem, 0, -1):
+        s = data[n - rem + k - 1]
+        R[k].put(buf, Fn[s], C[s])
+    for i in range(n & ~3, 0, -4):
+        R[3].put(buf, Fn[data[i - 1]], C[data[i - 1]])
+        R[2].put(buf, Fn[data[i - 2]], C[data[i - 2]])
+        R[1].put(buf, Fn[data[i - 3]], C[data[i - 3]])
+        R[0].put(buf, Fn[data[i - 4]], C[data[i - 4]])
+    for k in (3, 2, 1, 0):
+        R[k].flush(buf)
+    payload = table + bytes(reversed(buf))
+    return bytes([0]) + struct.pack("<II", len(payload), n) + payload
+
+
+def rans_encode_o1(data: bytes) -> bytes:
+    assert data
+    n = len(data)
+    isz4 = n >> 2
+    F = [[0] * 256 for _ in range(256)]
+    # context 0 starts each of the four interleaved streams
+    for k in range(4):
+        lo = k * isz4
+        hi = (k + 1) * isz4 if k < 3 else n
+        if lo >= hi:
+            continue
+        F[0][data[lo]] += 1
+        for j in range(lo + 1, hi):
+            F[data[j - 1]][data[j]] += 1
+    Fn = [None] * 256
+    C = [None] * 256
+    for i in range(256):
+        if sum(F[i]) == 0:
+            continue
+        Fn[i] = _norm_freqs(F[i])
+        cc = [0] * 257
+        for s in range(256):
+            cc[s + 1] = cc[s] + Fn[i][s]
+        C[i] = cc
+    # serialize tables: outer RLE over contexts, inner O0 layout
+    table = bytearray()
+    rle_i = 0
+    for i in range(256):
+        if Fn[i] is None:
+            continue
+        if rle_i:
+            rle_i -= 1
+        else:
+            table.append(i)
+            if i > 0 and Fn[i - 1] is not None:
+                run = 0
+                k = i + 1
+                while k < 256 and Fn[k] is not None:
+                    run += 1
+                    k += 1
+                table.append(run)
+                rle_i = run
+        table += _write_freqs(Fn[i])
+    table.append(0)
+
+    # Interleaved states share one byte stream: push symbols in the exact
+    # reverse of the decoder's read order (remainder via state 3 last; main
+    # loop reads k=0..3 at each position).
+    buf = bytearray()
+    R = [_Enc() for _ in range(4)]
+    for j in range(n - 1, 4 * isz4 - 1, -1):  # remainder, reversed
+        s = data[j]
+        ctx = data[j - 1] if j > 0 else 0
+        R[3].put(buf, Fn[ctx][s], C[ctx][s])
+    for j in range(isz4 - 1, -1, -1):
+        for k in (3, 2, 1, 0):
+            idx = k * isz4 + j
+            s = data[idx]
+            ctx = data[idx - 1] if j > 0 else 0
+            R[k].put(buf, Fn[ctx][s], C[ctx][s])
+    for k in (3, 2, 1, 0):
+        R[k].flush(buf)
+    payload = bytes(table) + bytes(reversed(buf))
+    return bytes([1]) + struct.pack("<II", len(payload), n) + payload
+
+
+# ------------------------------------------------------------------- blocks
+
+
+def _block(method: int, ctype: int, content_id: int, raw: bytes,
+           comp: bytes | None = None) -> bytes:
+    comp = raw if comp is None else comp
+    head = bytes([method, ctype]) + itf8(content_id) + itf8(len(comp)) + itf8(len(raw))
+    crc = zlib.crc32(head + comp)
+    return head + comp + struct.pack("<I", crc)
+
+
+def _ext_block(content_id: int, raw: bytes, method: str) -> bytes:
+    """External data block with the requested compression."""
+    if not raw or method == "raw":
+        return _block(0, 4, content_id, raw)
+    if method == "gzip":
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return _block(1, 4, content_id, raw, co.compress(raw) + co.flush())
+    if method == "rans0":
+        return _block(4, 4, content_id, raw, rans_encode_o0(raw))
+    if method == "rans1":
+        return _block(4, 4, content_id, raw, rans_encode_o1(raw))
+    raise ValueError(method)
+
+
+# data series -> (external content id, block compression)
+_SERIES = {
+    "BF": (1, "rans0"), "CF": (2, "rans0"), "RI": (3, "rans0"),
+    "RL": (4, "rans0"), "AP": (5, "gzip"), "RG": (6, "rans0"),
+    "RN": (7, "rans1"), "MF": (8, "rans0"), "NS": (9, "rans0"),
+    "NP": (10, "gzip"), "TS": (11, "rans0"), "NF": (12, "rans0"),
+    "TL": (13, "rans0"), "FN": (14, "rans0"), "FC": (15, "rans0"),
+    "FP": (16, "rans0"), "DL": (17, "rans0"), "BB": (18, "rans1"),
+    "BBL": (19, "rans0"), "BS": (20, "rans0"), "IN": (21, "rans1"),
+    "SC": (22, "rans1"), "HC": (23, "rans0"), "PD": (24, "rans0"),
+    "RS": (25, "rans0"), "BA": (26, "rans1"), "QS": (27, "rans1"),
+    "MQ": (28, "rans0"),
+}
+_EMBEDDED_REF_ID = 99
+
+
+def _enc_external(cid: int) -> bytes:
+    p = itf8(cid)
+    return itf8(1) + itf8(len(p)) + p
+
+
+def _enc_byte_array_stop(stop: int, cid: int) -> bytes:
+    p = bytes([stop]) + itf8(cid)
+    return itf8(5) + itf8(len(p)) + p
+
+
+def _enc_byte_array_len(len_cid: int, val_cid: int) -> bytes:
+    p = _enc_external(len_cid) + _enc_external(val_cid)
+    return itf8(4) + itf8(len(p)) + p
+
+
+def _comp_header(ref_based: bool, ap_delta: bool) -> bytes:
+    # preservation map
+    pres = bytearray()
+    entries = [
+        (b"RN", bytes([1])),
+        (b"AP", bytes([1 if ap_delta else 0])),
+        (b"RR", bytes([1 if ref_based else 0])),
+        (b"SM", bytes([0x1B] * 5)),  # identity-order substitution codes
+        (b"TD", itf8(1) + b"\x00"),  # one empty tag line
+    ]
+    pres += itf8(len(entries))
+    for k, v in entries:
+        pres += k + v
+    # data series encodings
+    S = _SERIES
+    enc = {
+        "RN": _enc_byte_array_stop(0x09, S["RN"][0]),
+        "BB": _enc_byte_array_len(S["BBL"][0], S["BB"][0]),
+        "IN": _enc_byte_array_stop(0x00, S["IN"][0]),
+        "SC": _enc_byte_array_stop(0x00, S["SC"][0]),
+    }
+    ds = bytearray()
+    keys = [k for k in S if k != "BBL"]
+    ds += itf8(len(keys))
+    for k in keys:
+        ds += k.encode() + enc.get(k, _enc_external(S[k][0]))
+    # tag encodings: none
+    tags = itf8(0)
+    body = itf8(len(pres)) + bytes(pres) + itf8(len(ds)) + bytes(ds) + itf8(len(tags)) + tags
+    return _block(0, 1, 0, body)
+
+
+# --------------------------------------------------------- feature building
+
+
+def _features(rec: BamRecord, ref: str | None):
+    """(features, ok). Each feature: (code, read_pos_1based, payload)."""
+    feats = []
+    q = 0  # 0-based read cursor
+    p = rec.pos  # 0-based reference cursor
+    seq = rec.seq
+    for n, op in rec.cigar:
+        ch = CIGAR_OPS[op]
+        if ch in "M=X":
+            if ref is None:
+                feats.append(("b", q + 1, seq[q:q + n].encode()))
+            else:
+                for j in range(n):
+                    rb = ref[p + j].upper() if p + j < len(ref) else "N"
+                    sb = seq[q + j].upper()
+                    if sb == rb:
+                        continue
+                    code = _sub_code(rb, sb)
+                    if code is None:
+                        feats.append(("b", q + j + 1, sb.encode()))
+                    else:
+                        feats.append(("X", q + j + 1, code))
+            q += n
+            p += n
+        elif ch == "I":
+            ins = seq[q:q + n].encode()
+            if n == 1:
+                feats.append(("i", q + 1, ins))
+            else:
+                feats.append(("I", q + 1, ins))
+            q += n
+        elif ch == "S":
+            feats.append(("S", q + 1, seq[q:q + n].encode()))
+            q += n
+        elif ch == "D":
+            feats.append(("D", q + 1, n))
+            p += n
+        elif ch == "N":
+            feats.append(("N", q + 1, n))
+            p += n
+        elif ch == "H":
+            feats.append(("H", q + 1, n))
+        elif ch == "P":
+            feats.append(("P", q + 1, n))
+        else:
+            return None, False
+    return feats, True
+
+
+_SUB_ALTS = {"A": "CGTN", "C": "AGTN", "G": "ACTN", "T": "ACGN", "N": "ACGT"}
+
+
+def _sub_code(refbase: str, readbase: str) -> int | None:
+    """2-bit code under the identity SM matrix (byte 0x1b: code == alt rank)."""
+    alts = _SUB_ALTS.get(refbase, _SUB_ALTS["N"])
+    i = alts.find(readbase)
+    return None if i < 0 else i
+
+
+def _endpos(rec: BamRecord) -> int:
+    if (rec.flag & 4) or not rec.cigar:
+        return rec.pos + 1
+    span = ref_span(rec.cigar)
+    return rec.pos + (span if span else 1)
+
+
+def _mate_reconstruct_ok(a: BamRecord, b: BamRecord) -> bool:
+    """True iff downstream-mate decoding reproduces both records exactly."""
+    fa = a.flag | (0x20 if b.flag & 0x10 else 0) | (0x8 if b.flag & 0x4 else 0)
+    fb = b.flag | (0x20 if a.flag & 0x10 else 0) | (0x8 if a.flag & 0x4 else 0)
+    if fa != a.flag or fb != b.flag:
+        return False
+    if a.mate_tid != b.tid or a.mate_pos != b.pos:
+        return False
+    if b.mate_tid != a.tid or b.mate_pos != a.pos:
+        return False
+    tlen = max(_endpos(a), _endpos(b)) - min(a.pos, b.pos)
+    want_a = tlen if a.pos <= b.pos else -tlen
+    return a.isize == want_a and b.isize == -want_a
+
+
+# ------------------------------------------------------------------- writer
+
+
+def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
+               records: list[BamRecord], fasta=None, write_index: bool = True,
+               slice_size: int = 4096, ap_delta: bool = True,
+               embed_ref: bool = False):
+    """Write a CRAM 3.0 (+ .crai). `fasta` is a path, a dict name->seq, or
+    None (verbatim base encoding, RR=false). Records should be
+    coordinate-sorted for meaningful .crai queries."""
+    refs: dict[str, str] = {}
+    if isinstance(fasta, dict):
+        refs = {k: v.upper() for k, v in fasta.items()}
+    elif isinstance(fasta, str):
+        from strling_tpu.io.fasta import Fasta
+
+        fa = Fasta(fasta)
+        refs = {name: fa.get(name).upper() for name, _ in targets}
+    ref_based = fasta is not None
+
+    out = open(path, "wb")
+    out.write(b"CRAM\x03\x00" + (path.encode() + b"\x00" * 20)[:20])
+    # SAM header container (one FILE_HEADER block)
+    htext = header_text.encode()
+    hblock = _block(0, 0, 0, struct.pack("<i", len(htext)) + htext)
+    hdr_cont = _cont_header(len(hblock), -1, 0, 0, 0, 0, 0, 1, [0])
+    out.write(hdr_cont + hblock)
+
+    # slice partition: fixed-size chunks; with an embedded reference, also
+    # split at tid changes (a multiref slice cannot embed its reference)
+    chunks = []
+    cur: list[BamRecord] = []
+    for r in records:
+        if cur and (len(cur) >= slice_size
+                    or (embed_ref and r.tid != cur[0].tid)):
+            chunks.append(cur)
+            cur = []
+        cur.append(r)
+    if cur:
+        chunks.append(cur)
+
+    crai_lines = []
+    counter = 0
+    for chunk in chunks:
+        payload, ref_id, start, span, nbases, landmark, ssize = _container(
+            chunk, refs, targets, ref_based, ap_delta, embed_ref, counter)
+        coff = out.tell()
+        out.write(payload)
+        counter += len(chunk)
+        crai_lines.append((ref_id, start if ref_id >= 0 else 0,
+                           span if ref_id >= 0 else 0, coff, landmark, ssize))
+    out.write(bytes.fromhex(
+        "0f000000ffffffff0fe0454f4600000000010005bdd94f"
+        "0001000606010001000100ee63014b"))
+    out.close()
+
+    if write_index:
+        txt = "".join(
+            f"{r}\t{s}\t{sp}\t{c}\t{l}\t{z}\n" for r, s, sp, c, l, z in crai_lines
+        )
+        with _gzip.open(path + ".crai", "wb") as f:
+            f.write(txt.encode())
+
+
+def _cont_header(length: int, ref_id: int, start: int, span: int, n_rec: int,
+                 counter: int, nbases: int, n_blocks: int,
+                 landmarks: list[int]) -> bytes:
+    h = struct.pack("<i", length)
+    h += itf8(ref_id) + itf8(start) + itf8(span) + itf8(n_rec)
+    h += ltf8(counter) + ltf8(nbases) + itf8(n_blocks)
+    h += itf8(len(landmarks))
+    for l in landmarks:
+        h += itf8(l)
+    h += struct.pack("<I", 0)  # header crc (not verified by the reader)
+    return h
+
+
+def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
+               ap_delta: bool, embed_ref: bool, counter: int):
+    tids = {r.tid for r in chunk}
+    if len(tids) == 1:
+        ref_id = chunk[0].tid
+    else:
+        ref_id = -2
+    if ref_id >= 0:
+        start = min(r.pos for r in chunk) + 1
+        span = max(_endpos(r) for r in chunk) - (start - 1)
+    else:
+        start = span = 0
+
+    # streams
+    st = {k: bytearray() for k in _SERIES}
+    ap_last = start
+
+    # same-slice downstream mates (verified reconstruction, else detached)
+    mate_link = [-1] * len(chunk)
+    is_mate_target = [False] * len(chunk)
+    by_qname: dict[str, int] = {}
+    for i, r in enumerate(chunk):
+        if r.qname in by_qname:
+            j = by_qname[r.qname]
+            if (mate_link[j] < 0 and not is_mate_target[j]
+                    and (r.flag & 1) and (chunk[j].flag & 1)
+                    and _mate_reconstruct_ok(chunk[j], r)):
+                mate_link[j] = i
+                is_mate_target[i] = True
+        else:
+            by_qname[r.qname] = i
+
+    ref_cache: dict[int, str | None] = {}
+
+    def ref_for(tid: int):
+        if tid not in ref_cache:
+            name = targets[tid][0] if 0 <= tid < len(targets) else None
+            ref_cache[tid] = refs.get(name) if name else None
+        return ref_cache[tid]
+
+    nbases = 0
+    for i, r in enumerate(chunk):
+        nbases += len(r.seq)
+        cf = 0
+        feats = None
+        if not (r.flag & 4):
+            ref = ref_for(r.tid) if ref_based else None
+            feats, ok = _features(r, ref)
+            if not ok:
+                raise ValueError("unsupported CIGAR for CRAM write")
+        if mate_link[i] >= 0:
+            cf |= 0x4
+        elif not is_mate_target[i]:
+            cf |= 0x2
+        st["BF"] += itf8(r.flag)
+        st["CF"] += itf8(cf)
+        if ref_id == -2:
+            st["RI"] += itf8(r.tid)
+        st["RL"] += itf8(len(r.seq))
+        ap = r.pos + 1
+        if ap_delta:
+            st["AP"] += itf8(ap - ap_last)
+            ap_last = ap
+        else:
+            st["AP"] += itf8(ap)
+        st["RG"] += itf8(-1)
+        st["RN"] += r.qname.encode() + b"\x09"
+        if cf & 0x2:
+            mf = (1 if r.flag & 0x20 else 0) | (2 if r.flag & 0x8 else 0)
+            st["MF"] += itf8(mf)
+            st["NS"] += itf8(r.mate_tid)
+            st["NP"] += itf8(r.mate_pos + 1)
+            st["TS"] += itf8(r.isize)
+        elif cf & 0x4:
+            st["NF"] += itf8(mate_link[i] - i - 1)
+        st["TL"] += itf8(0)
+        if not (r.flag & 4):
+            st["FN"] += itf8(len(feats))
+            prev = 0
+            for code, fpos, payload in feats:
+                st["FC"].append(ord(code))
+                st["FP"] += itf8(fpos - prev)
+                prev = fpos
+                if code == "X":
+                    st["BS"].append(payload)
+                elif code == "S":
+                    st["SC"] += payload + b"\x00"
+                elif code == "I":
+                    st["IN"] += payload + b"\x00"
+                elif code == "i":
+                    st["BA"] += payload
+                elif code == "b":
+                    st["BBL"] += itf8(len(payload))
+                    st["BB"] += payload
+                elif code in "DNPH":
+                    key = {"D": "DL", "N": "RS", "P": "PD", "H": "HC"}[code]
+                    st[key] += itf8(payload)
+            st["MQ"] += itf8(r.mapq)
+        else:
+            st["BA"] += r.seq.encode()
+
+    # blocks: core (empty) + every external stream
+    blocks = bytearray()
+    blocks += _block(0, 5, 0, b"")
+    content_ids = []
+    for key, (cid, method) in _SERIES.items():
+        blocks += _ext_block(cid, bytes(st[key]), method)
+        content_ids.append(cid)
+    if embed_ref and ref_id >= 0 and ref_based:
+        ref = ref_for(ref_id) or ""
+        blocks += _ext_block(_EMBEDDED_REF_ID, ref[start - 1:start - 1 + span].encode(), "gzip")
+        content_ids.append(_EMBEDDED_REF_ID)
+
+    shdr = itf8(ref_id) + itf8(start) + itf8(span) + itf8(len(chunk))
+    shdr += ltf8(counter) + itf8(len(content_ids) + 1)
+    shdr += itf8(len(content_ids))
+    for cid in content_ids:
+        shdr += itf8(cid)
+    shdr += itf8(_EMBEDDED_REF_ID if (embed_ref and ref_id >= 0 and ref_based) else -1)
+    shdr += b"\x00" * 16  # md5 (not verified)
+    slice_hdr_block = _block(0, 2, 0, shdr)
+
+    comp = _comp_header(ref_based, ap_delta)
+    payload = comp + slice_hdr_block + bytes(blocks)
+    landmark = len(comp)
+    ssize = len(slice_hdr_block) + len(blocks)
+    n_blocks = 2 + 1 + len(content_ids)  # comp hdr + slice hdr + core + ext
+    hdr = _cont_header(len(payload), ref_id, start, span, len(chunk), counter,
+                       nbases, n_blocks, [landmark])
+    return hdr + payload, ref_id, start, span, nbases, landmark, ssize

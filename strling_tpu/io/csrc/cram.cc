@@ -1,0 +1,1503 @@
+// cram.cc — from-scratch CRAM 3.0 reader (no htslib in this environment).
+//
+// Implements the subset of the CRAM 3.0 specification needed to play the
+// reference's htslib role for CRAM inputs (SURVEY.md §2 native-component
+// ledger items 1-3): sequential record streaming, CRAI region queries, the
+// no-coor ("*") scan, and reference-based sequence reconstruction.
+//
+// Supported block codecs: raw, gzip, rANS4x8 (order 0 and 1).
+// Supported field encodings: EXTERNAL, HUFFMAN (canonical), BETA, GAMMA,
+// BYTE_ARRAY_LEN, BYTE_ARRAY_STOP.
+// CRAM 3.1-only codecs (rANSNx16, name tokeniser, fqzcomp, arithmetic) are
+// reported as errors — the reference's htslib 1.22 writes 3.0 by default.
+//
+// Exposed through the sio::Reader interface (strling_io.h) so the extract
+// engine, frag-hist pass and batch iterators work on CRAM transparently.
+
+#include "strling_io.h"
+
+#include <array>
+#include <map>
+#include <memory>
+
+namespace {
+
+using sio::BamRec;
+using sio::Reader;
+
+// ------------------------------------------------------------------ cursors
+
+struct Buf {
+  const uint8_t* p = nullptr;
+  const uint8_t* e = nullptr;
+  bool fail = false;
+
+  Buf() = default;
+  Buf(const uint8_t* b, size_t n) : p(b), e(b + n) {}
+  size_t left() const { return (size_t)(e - p); }
+  uint8_t u8() {
+    if (p >= e) { fail = true; return 0; }
+    return *p++;
+  }
+  bool raw(void* dst, size_t n) {
+    if (left() < n) { fail = true; memset(dst, 0, n); return false; }
+    memcpy(dst, p, n);
+    p += n;
+    return true;
+  }
+  uint32_t u32le() {
+    uint8_t b[4];
+    raw(b, 4);
+    return (uint32_t)b[0] | ((uint32_t)b[1] << 8) | ((uint32_t)b[2] << 16) |
+           ((uint32_t)b[3] << 24);
+  }
+  // ITF8: 1-5 bytes, leading-ones prefix; value reinterpreted as int32
+  int32_t itf8() {
+    uint32_t b0 = u8();
+    if (b0 < 0x80) return (int32_t)b0;
+    if (b0 < 0xc0) return (int32_t)((((b0 << 8) | u8()) & 0x3fff));
+    if (b0 < 0xe0) {
+      uint32_t v = (b0 << 16) | ((uint32_t)u8() << 8);
+      v |= u8();
+      return (int32_t)(v & 0x1fffff);
+    }
+    if (b0 < 0xf0) {
+      uint32_t v = (b0 << 24) | ((uint32_t)u8() << 16);
+      v |= (uint32_t)u8() << 8;
+      v |= u8();
+      return (int32_t)(v & 0x0fffffff);
+    }
+    uint32_t v = (b0 & 0x0f) << 28;
+    v |= (uint32_t)u8() << 20;
+    v |= (uint32_t)u8() << 12;
+    v |= (uint32_t)u8() << 4;
+    v |= u8() & 0x0f;
+    return (int32_t)v;
+  }
+  // LTF8: 1-9 bytes
+  int64_t ltf8() {
+    uint64_t b0 = u8();
+    if (b0 < 0x80) return (int64_t)b0;
+    int extra;
+    uint64_t v;
+    if (b0 < 0xc0) { extra = 1; v = b0 & 0x3f; }
+    else if (b0 < 0xe0) { extra = 2; v = b0 & 0x1f; }
+    else if (b0 < 0xf0) { extra = 3; v = b0 & 0x0f; }
+    else if (b0 < 0xf8) { extra = 4; v = b0 & 0x07; }
+    else if (b0 < 0xfc) { extra = 5; v = b0 & 0x03; }
+    else if (b0 < 0xfe) { extra = 6; v = b0 & 0x01; }
+    else if (b0 == 0xfe) { extra = 7; v = 0; }
+    else { extra = 8; v = 0; }
+    for (int i = 0; i < extra; i++) v = (v << 8) | u8();
+    return (int64_t)v;
+  }
+};
+
+// --------------------------------------------------------------- rANS 4x8
+//
+// CRAM 3.0 §13 rANS codec: 4 interleaved 32-bit byte-renormalised states,
+// 12-bit normalised frequencies. Stream layout: order byte, u32 compressed
+// size, u32 uncompressed size, frequency table, data.
+
+constexpr uint32_t RANS_LOW = 1u << 23;
+constexpr int TF_SHIFT = 12;
+constexpr uint32_t TF_MASK = (1u << TF_SHIFT) - 1;
+
+// shared RLE frequency-table reader; returns false on malformed input
+static bool rans_read_freqs(Buf& b, uint32_t F[256], uint32_t C[256]) {
+  memset(F, 0, 256 * sizeof(uint32_t));
+  int rle = 0;
+  int j = b.u8();
+  do {
+    uint32_t f = b.u8();
+    if (f >= 128) f = ((f & 127) << 8) | b.u8();
+    F[j] = f;
+    if (rle > 0) {
+      rle--;
+      j++;
+    } else {
+      if (b.p < b.e && *b.p == j + 1) {
+        j = b.u8();
+        rle = b.u8();
+      } else {
+        j = b.u8();
+      }
+    }
+    if (b.fail || j > 255) return false;
+  } while (j != 0);
+  uint32_t x = 0;
+  for (int s = 0; s < 256; s++) {
+    C[s] = x;
+    x += F[s];
+  }
+  return x <= (1u << TF_SHIFT);
+}
+
+static bool rans_decode_o0(Buf b, uint8_t* out, uint32_t out_sz) {
+  uint32_t F[256], C[256];
+  if (!rans_read_freqs(b, F, C)) return false;
+  // reverse lookup
+  std::vector<uint8_t> ssym(1u << TF_SHIFT);
+  for (int s = 0; s < 256; s++)
+    for (uint32_t m = C[s]; m < C[s] + F[s]; m++) ssym[m] = (uint8_t)s;
+  uint32_t R[4];
+  for (int k = 0; k < 4; k++) R[k] = b.u32le();
+  if (b.fail) return false;
+  auto step = [&](int k) -> uint8_t {
+    uint32_t m = R[k] & TF_MASK;
+    uint8_t s = ssym[m];
+    R[k] = F[s] * (R[k] >> TF_SHIFT) + m - C[s];
+    while (R[k] < RANS_LOW) {
+      if (b.p >= b.e) { b.fail = true; break; }
+      R[k] = (R[k] << 8) | *b.p++;
+    }
+    return s;
+  };
+  uint32_t out_end = out_sz & ~3u;
+  for (uint32_t i = 0; i < out_end; i += 4)
+    for (int k = 0; k < 4; k++) out[i + k] = step(k);
+  // remainder bytes come from states 1..3 (encoder pushes them there first)
+  for (uint32_t r = 0; r < (out_sz & 3); r++) out[out_end + r] = step(1 + r);
+  return !b.fail;
+}
+
+static bool rans_decode_o1(Buf b, uint8_t* out, uint32_t out_sz) {
+  // context-conditioned tables, outer RLE over contexts
+  static thread_local std::vector<uint32_t> Fv, Cv;
+  static thread_local std::vector<uint8_t> ssym;
+  Fv.assign(256 * 256, 0);
+  Cv.assign(256 * 256, 0);
+  ssym.assign(256u << TF_SHIFT, 0);
+  int rle_i = 0;
+  int i = b.u8();
+  do {
+    uint32_t* F = &Fv[i * 256];
+    uint32_t* C = &Cv[i * 256];
+    if (!rans_read_freqs(b, F, C)) return false;
+    uint8_t* sy = &ssym[(size_t)i << TF_SHIFT];
+    for (int s = 0; s < 256; s++)
+      for (uint32_t m = C[s]; m < C[s] + F[s]; m++) sy[m] = (uint8_t)s;
+    if (rle_i > 0) {
+      rle_i--;
+      i++;
+    } else {
+      if (b.p < b.e && *b.p == i + 1) {
+        i = b.u8();
+        rle_i = b.u8();
+      } else {
+        i = b.u8();
+      }
+    }
+    if (b.fail || i > 255) return false;
+  } while (i != 0);
+  uint32_t R[4];
+  for (int k = 0; k < 4; k++) R[k] = b.u32le();
+  if (b.fail) return false;
+  int ctx[4] = {0, 0, 0, 0};
+  auto step = [&](int k) -> uint8_t {
+    const uint32_t* F = &Fv[ctx[k] * 256];
+    const uint32_t* C = &Cv[ctx[k] * 256];
+    uint32_t m = R[k] & TF_MASK;
+    uint8_t s = ssym[((size_t)ctx[k] << TF_SHIFT) + m];
+    R[k] = F[s] * (R[k] >> TF_SHIFT) + m - C[s];
+    while (R[k] < RANS_LOW) {
+      if (b.p >= b.e) { b.fail = true; break; }
+      R[k] = (R[k] << 8) | *b.p++;
+    }
+    ctx[k] = s;
+    return s;
+  };
+  uint32_t isz4 = out_sz >> 2;
+  for (uint32_t j = 0; j < isz4; j++)
+    for (int k = 0; k < 4; k++) out[k * isz4 + j] = step(k);
+  // remainder carried by stream 3 continuing its context
+  for (uint32_t j = 4 * isz4; j < out_sz; j++) out[j] = step(3);
+  return !b.fail;
+}
+
+static bool rans_decode(const uint8_t* in, size_t in_sz,
+                        std::vector<uint8_t>* out) {
+  Buf b(in, in_sz);
+  int order = b.u8();
+  uint32_t csz = b.u32le();
+  uint32_t usz = b.u32le();
+  (void)csz;
+  if (b.fail) return false;
+  out->resize(usz);
+  if (usz == 0) return true;
+  if (order == 0) return rans_decode_o0(b, out->data(), usz);
+  if (order == 1) return rans_decode_o1(b, out->data(), usz);
+  return false;
+}
+
+// ------------------------------------------------------------------- codecs
+
+static bool gunzip(const uint8_t* in, size_t in_sz, size_t out_sz,
+                   std::vector<uint8_t>* out) {
+  out->resize(out_sz);
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  size_t actual = 0;
+  auto r = libdeflate_gzip_decompress(d, in, in_sz, out->data(), out_sz,
+                                      &actual);
+  libdeflate_free_decompressor(d);
+  return r == LIBDEFLATE_SUCCESS && actual == out_sz;
+}
+
+// gunzip with unknown output size (CRAI files)
+static bool gunzip_all(const uint8_t* in, size_t in_sz,
+                       std::vector<uint8_t>* out) {
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  out->clear();
+  size_t off = 0;
+  std::vector<uint8_t> tmp(1 << 20);
+  bool ok = true;
+  while (off < in_sz) {
+    size_t actual_out = 0, actual_in = 0;
+    for (;;) {
+      auto r = libdeflate_gzip_decompress_ex(d, in + off, in_sz - off,
+                                             tmp.data(), tmp.size(),
+                                             &actual_in, &actual_out);
+      if (r == LIBDEFLATE_SUCCESS) break;
+      if (r == LIBDEFLATE_INSUFFICIENT_SPACE && tmp.size() < (1u << 28)) {
+        tmp.resize(tmp.size() * 2);
+        continue;
+      }
+      ok = false;
+      break;
+    }
+    if (!ok) break;
+    out->insert(out->end(), tmp.begin(), tmp.begin() + actual_out);
+    off += actual_in;
+  }
+  libdeflate_free_decompressor(d);
+  return ok;
+}
+
+// ------------------------------------------------------------------- blocks
+
+enum BlockType {
+  BT_FILE_HEADER = 0,
+  BT_COMP_HEADER = 1,
+  BT_SLICE_HEADER = 2,
+  BT_EXTERNAL = 4,
+  BT_CORE = 5,
+};
+
+struct Block {
+  int method = 0;
+  int ctype = 0;
+  int content_id = 0;
+  std::vector<uint8_t> data;
+};
+
+static bool read_block(Buf& b, Block* blk, std::string* err) {
+  blk->method = b.u8();
+  blk->ctype = b.u8();
+  blk->content_id = b.itf8();
+  int32_t csize = b.itf8();
+  int32_t usize = b.itf8();
+  if (b.fail || csize < 0 || usize < 0 || b.left() < (size_t)csize) {
+    *err = "truncated CRAM block";
+    return false;
+  }
+  const uint8_t* cdata = b.p;
+  b.p += csize;
+  b.u32le();  // CRC32 trailer (computed over header+data; not verified)
+  switch (blk->method) {
+    case 0:  // raw
+      blk->data.assign(cdata, cdata + csize);
+      break;
+    case 1:  // gzip
+      if (!gunzip(cdata, csize, usize, &blk->data)) {
+        *err = "CRAM gzip block decode failed";
+        return false;
+      }
+      break;
+    case 4:  // rANS 4x8
+      if (!rans_decode(cdata, csize, &blk->data)) {
+        *err = "CRAM rANS block decode failed";
+        return false;
+      }
+      break;
+    case 2:
+      *err = "CRAM bzip2 blocks not supported";
+      return false;
+    case 3:
+      *err = "CRAM lzma blocks not supported";
+      return false;
+    default:
+      *err = "CRAM 3.1 codec (method " + std::to_string(blk->method) +
+             ") not supported";
+      return false;
+  }
+  if ((int)blk->data.size() != usize) {
+    *err = "CRAM block size mismatch";
+    return false;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------- encodings
+
+struct Ctx;
+
+struct Encoding {
+  int codec = 0;  // 0 NULL, 1 EXTERNAL, 3 HUFFMAN, 4 BYTE_ARRAY_LEN,
+                  // 5 BYTE_ARRAY_STOP, 6 BETA, 9 GAMMA
+  int content_id = -1;
+  uint8_t stop = 0;
+  int64_t offset = 0;  // BETA/GAMMA
+  int nbits = 0;       // BETA
+  // HUFFMAN canonical tables
+  std::vector<int64_t> hsyms;           // sorted by (len, sym)
+  std::vector<int> hlens;               // parallel
+  std::unique_ptr<Encoding> len_enc, val_enc;
+
+  bool parse(Buf& b, std::string* err);
+  int64_t dec_int(Ctx& c) const;
+  int dec_byte(Ctx& c) const;
+  bool dec_bytes(Ctx& c, std::vector<uint8_t>* out) const;
+};
+
+struct Stream {
+  const uint8_t* p = nullptr;
+  const uint8_t* e = nullptr;
+};
+
+struct Ctx {
+  std::map<int, Stream> ext;
+  Stream core;
+  size_t corebit = 0;
+  bool fail = false;
+  std::string err;
+
+  Stream* get(int id) {
+    auto it = ext.find(id);
+    if (it == ext.end()) {
+      fail = true;
+      err = "missing external block " + std::to_string(id);
+      return nullptr;
+    }
+    return &it->second;
+  }
+  int bit() {
+    size_t byte = corebit >> 3;
+    if (core.p + byte >= core.e) { fail = true; return 0; }
+    int v = (core.p[byte] >> (7 - (corebit & 7))) & 1;
+    corebit++;
+    return v;
+  }
+  uint64_t bits(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; i++) v = (v << 1) | (uint64_t)bit();
+    return v;
+  }
+  uint8_t ext_u8(int id) {
+    Stream* s = get(id);
+    if (!s || s->p >= s->e) { fail = true; return 0; }
+    return *s->p++;
+  }
+  int64_t ext_itf8(int id) {
+    Stream* s = get(id);
+    if (!s) return 0;
+    Buf b(s->p, s->e - s->p);
+    int32_t v = b.itf8();
+    if (b.fail) { fail = true; return 0; }
+    s->p = b.p;
+    return v;
+  }
+};
+
+bool Encoding::parse(Buf& b, std::string* err) {
+  codec = b.itf8();
+  int32_t plen = b.itf8();
+  if (b.fail || b.left() < (size_t)plen) {
+    *err = "truncated encoding";
+    return false;
+  }
+  Buf pb(b.p, plen);
+  b.p += plen;
+  switch (codec) {
+    case 0:
+      break;
+    case 1:  // EXTERNAL
+      content_id = pb.itf8();
+      break;
+    case 3: {  // HUFFMAN
+      int32_t n = pb.itf8();
+      if (n < 0 || n > (1 << 20)) { *err = "bad huffman alphabet"; return false; }
+      std::vector<int64_t> syms(n);
+      std::vector<int> lens(n);
+      for (int i = 0; i < n; i++) syms[i] = pb.itf8();
+      int32_t nl = pb.itf8();
+      if (nl != n) { *err = "huffman len mismatch"; return false; }
+      for (int i = 0; i < n; i++) lens[i] = pb.itf8();
+      // canonical order: (len, symbol) ascending
+      std::vector<int> order(n);
+      for (int i = 0; i < n; i++) order[i] = i;
+      std::stable_sort(order.begin(), order.end(), [&](int a, int c) {
+        if (lens[a] != lens[c]) return lens[a] < lens[c];
+        return syms[a] < syms[c];
+      });
+      hsyms.resize(n);
+      hlens.resize(n);
+      for (int i = 0; i < n; i++) {
+        hsyms[i] = syms[order[i]];
+        hlens[i] = lens[order[i]];
+      }
+      break;
+    }
+    case 4: {  // BYTE_ARRAY_LEN
+      len_enc.reset(new Encoding());
+      val_enc.reset(new Encoding());
+      if (!len_enc->parse(pb, err) || !val_enc->parse(pb, err)) return false;
+      break;
+    }
+    case 5:  // BYTE_ARRAY_STOP
+      stop = pb.u8();
+      content_id = pb.itf8();
+      break;
+    case 6:  // BETA
+      offset = pb.itf8();
+      nbits = pb.itf8();
+      break;
+    case 9:  // GAMMA
+      offset = pb.itf8();
+      break;
+    default:
+      *err = "unsupported encoding codec " + std::to_string(codec);
+      return false;
+  }
+  if (pb.fail) { *err = "truncated encoding params"; return false; }
+  return true;
+}
+
+static int64_t huffman_decode(const Encoding& E, Ctx& c) {
+  if (E.hsyms.empty()) { c.fail = true; return 0; }
+  if (E.hlens[0] == 0) return E.hsyms[0];  // single zero-bit symbol
+  uint64_t code = 0;
+  int len = 0;
+  size_t i = 0;
+  uint64_t first = 0;  // canonical first code of current length
+  while (i < E.hsyms.size()) {
+    int L = E.hlens[i];
+    code = (code << (L - len)) | c.bits(L - len);
+    first <<= (L - len);
+    len = L;
+    // count symbols at this length
+    size_t j = i;
+    while (j < E.hsyms.size() && E.hlens[j] == L) j++;
+    if (code - first < (uint64_t)(j - i)) return E.hsyms[i + (code - first)];
+    first += (uint64_t)(j - i);
+    i = j;
+    if (c.fail) break;
+  }
+  c.fail = true;
+  c.err = "bad huffman code";
+  return 0;
+}
+
+int64_t Encoding::dec_int(Ctx& c) const {
+  switch (codec) {
+    case 1:
+      return c.ext_itf8(content_id);
+    case 3:
+      return huffman_decode(*this, c);
+    case 6:
+      return (int64_t)c.bits(nbits) - offset;
+    case 9: {
+      int nz = 0;
+      while (!c.fail && c.bit() == 0) nz++;
+      int64_t v = 1;
+      for (int i = 0; i < nz; i++) v = (v << 1) | (int64_t)c.bit();
+      return v - offset;
+    }
+    default:
+      c.fail = true;
+      c.err = "encoding cannot produce ints (codec " + std::to_string(codec) + ")";
+      return 0;
+  }
+}
+
+int Encoding::dec_byte(Ctx& c) const {
+  switch (codec) {
+    case 1:
+      return c.ext_u8(content_id);
+    case 3:
+      return (int)huffman_decode(*this, c);
+    case 6:
+      return (int)((int64_t)c.bits(nbits) - offset);
+    default:
+      c.fail = true;
+      c.err = "encoding cannot produce bytes";
+      return 0;
+  }
+}
+
+bool Encoding::dec_bytes(Ctx& c, std::vector<uint8_t>* out) const {
+  out->clear();
+  switch (codec) {
+    case 5: {  // BYTE_ARRAY_STOP
+      Stream* s = c.get(content_id);
+      if (!s) return false;
+      const uint8_t* q = s->p;
+      while (q < s->e && *q != stop) q++;
+      if (q >= s->e) { c.fail = true; c.err = "unterminated byte array"; return false; }
+      out->assign(s->p, q);
+      s->p = q + 1;
+      return true;
+    }
+    case 4: {  // BYTE_ARRAY_LEN
+      int64_t n = len_enc->dec_int(c);
+      if (c.fail || n < 0 || n > (1 << 28)) { c.fail = true; return false; }
+      if (val_enc->codec == 1) {  // fast path: raw slab from external
+        Stream* s = c.get(val_enc->content_id);
+        if (!s || s->e - s->p < n) { c.fail = true; return false; }
+        out->assign(s->p, s->p + n);
+        s->p += n;
+        return true;
+      }
+      out->resize(n);
+      for (int64_t i = 0; i < n; i++) (*out)[i] = (uint8_t)val_enc->dec_byte(c);
+      return !c.fail;
+    }
+    default:
+      c.fail = true;
+      c.err = "encoding cannot produce byte arrays";
+      return false;
+  }
+}
+
+// -------------------------------------------------- compression header
+
+struct CompHdr {
+  bool read_names = true;
+  bool ap_delta = true;
+  bool ref_required = true;
+  uint8_t sm[5] = {0x1b, 0x1b, 0x1b, 0x1b, 0x1b};
+  // tag dictionary: line -> list of (tag0, tag1, type)
+  std::vector<std::vector<std::array<uint8_t, 3>>> td;
+  std::map<uint16_t, Encoding> ds;  // key = (c0<<8)|c1
+  std::map<int32_t, Encoding> tags;
+
+  const Encoding* get(const char* k) const {
+    auto it = ds.find((uint16_t)(((uint8_t)k[0] << 8) | (uint8_t)k[1]));
+    return it == ds.end() ? nullptr : &it->second;
+  }
+};
+
+static bool parse_comp_hdr(const std::vector<uint8_t>& data, CompHdr* ch,
+                           std::string* err) {
+  Buf b(data.data(), data.size());
+  // preservation map
+  int32_t psz = b.itf8();
+  (void)psz;
+  int32_t n = b.itf8();
+  for (int i = 0; i < n && !b.fail; i++) {
+    char k0 = (char)b.u8(), k1 = (char)b.u8();
+    if (k0 == 'R' && k1 == 'N') ch->read_names = b.u8() != 0;
+    else if (k0 == 'A' && k1 == 'P') ch->ap_delta = b.u8() != 0;
+    else if (k0 == 'R' && k1 == 'R') ch->ref_required = b.u8() != 0;
+    else if (k0 == 'S' && k1 == 'M') b.raw(ch->sm, 5);
+    else if (k0 == 'T' && k1 == 'D') {
+      int32_t len = b.itf8();
+      if (b.fail || b.left() < (size_t)len) { *err = "bad TD"; return false; }
+      const uint8_t* q = b.p;
+      const uint8_t* qe = q + len;
+      std::vector<std::array<uint8_t, 3>> line;
+      while (q < qe) {
+        if (*q == 0) {
+          ch->td.push_back(line);
+          line.clear();
+          q++;
+        } else {
+          if (qe - q < 3) { *err = "bad TD triplet"; return false; }
+          line.push_back({q[0], q[1], q[2]});
+          q += 3;
+        }
+      }
+      b.p += len;
+    } else {
+      *err = std::string("unknown preservation key ") + k0 + k1;
+      return false;
+    }
+  }
+  if (ch->td.empty()) ch->td.push_back({});
+  // data series encodings
+  int32_t dsz = b.itf8();
+  (void)dsz;
+  n = b.itf8();
+  for (int i = 0; i < n && !b.fail; i++) {
+    uint8_t k0 = b.u8(), k1 = b.u8();
+    Encoding E;
+    if (!E.parse(b, err)) return false;
+    ch->ds[(uint16_t)((k0 << 8) | k1)] = std::move(E);
+  }
+  // tag encodings
+  int32_t tsz = b.itf8();
+  (void)tsz;
+  n = b.itf8();
+  for (int i = 0; i < n && !b.fail; i++) {
+    int32_t key = b.itf8();
+    Encoding E;
+    if (!E.parse(b, err)) return false;
+    ch->tags[key] = std::move(E);
+  }
+  if (b.fail) { *err = "truncated compression header"; return false; }
+  return true;
+}
+
+// ------------------------------------------------------------ FASTA access
+
+struct FastaRef {
+  struct Ent {
+    int64_t len = 0, off = 0, linebases = 0, linewidth = 0;
+  };
+  std::string path;
+  std::map<std::string, Ent> idx;
+  std::map<std::string, std::string> cache;
+  bool ok = false;
+
+  bool open(const char* p) {
+    path = p;
+    std::string fai = path + ".fai";
+    FILE* f = fopen(fai.c_str(), "rb");
+    if (f) {
+      char line[4096];
+      while (fgets(line, sizeof line, f)) {
+        char name[2048];
+        Ent e;
+        if (sscanf(line, "%2047s\t%ld\t%ld\t%ld\t%ld", name, &e.len, &e.off,
+                   &e.linebases, &e.linewidth) == 5)
+          idx[name] = e;
+      }
+      fclose(f);
+      ok = !idx.empty();
+      if (ok) return true;
+    }
+    return scan();
+  }
+
+  // build the index by scanning a plain-text FASTA
+  bool scan() {
+    FILE* f = fopen(path.c_str(), "rb");
+    if (!f) return false;
+    std::string name;
+    Ent cur;
+    int64_t off = 0;
+    char line[65536];
+    bool first_seq_line = true;
+    auto flush = [&]() {
+      if (!name.empty()) idx[name] = cur;
+    };
+    while (fgets(line, sizeof line, f)) {
+      size_t n = strlen(line);
+      if (line[0] == '>') {
+        flush();
+        cur = Ent();
+        char* sp = strpbrk(line + 1, " \t\r\n");
+        name.assign(line + 1, sp ? sp - (line + 1) : n - 1);
+        cur.off = off + n;
+        first_seq_line = true;
+      } else if (!name.empty()) {
+        size_t bases = n;
+        while (bases && (line[bases - 1] == '\n' || line[bases - 1] == '\r'))
+          bases--;
+        if (first_seq_line) {
+          cur.linebases = bases;
+          cur.linewidth = n;
+          first_seq_line = false;
+        }
+        cur.len += bases;
+      }
+      off += n;
+    }
+    flush();
+    fclose(f);
+    ok = !idx.empty();
+    return ok;
+  }
+
+  const std::string* fetch(const std::string& name) {
+    auto c = cache.find(name);
+    if (c != cache.end()) return &c->second;
+    auto it = idx.find(name);
+    if (it == idx.end()) return nullptr;
+    const Ent& e = it->second;
+    FILE* f = fopen(path.c_str(), "rb");
+    if (!f) return nullptr;
+    std::string s;
+    s.reserve(e.len);
+    fseeko(f, e.off, SEEK_SET);
+    int64_t nlines = e.linebases ? (e.len + e.linebases - 1) / e.linebases : 0;
+    int64_t raw = e.len + nlines * (e.linewidth - e.linebases);
+    std::vector<char> tmp(raw);
+    size_t got = fread(tmp.data(), 1, raw, f);
+    fclose(f);
+    for (size_t i = 0; i < got; i++) {
+      char ch = tmp[i];
+      if (ch == '\n' || ch == '\r') continue;
+      s.push_back((char)toupper((unsigned char)ch));
+    }
+    auto ins = cache.emplace(name, std::move(s));
+    return &ins.first->second;
+  }
+};
+
+// --------------------------------------------------------------- containers
+
+struct ContHdr {
+  int64_t length = 0;  // payload bytes
+  int32_t ref_id = 0, start = 0, span = 0, n_rec = 0;
+  int64_t counter = 0, bases = 0;
+  int32_t n_blocks = 0;
+  std::vector<int32_t> landmarks;
+  int64_t header_size = 0;  // bytes consumed by the header itself
+};
+
+struct SliceHdr {
+  int32_t ref_id = 0, start = 0, span = 0, n_rec = 0;
+  int64_t counter = 0;
+  int32_t n_blocks = 0;
+  std::vector<int32_t> content_ids;
+  int32_t embedded_ref_id = -1;
+  uint8_t md5[16] = {0};
+};
+
+static bool parse_cont_hdr(Buf& b, ContHdr* h) {
+  const uint8_t* start = b.p;
+  h->length = (int32_t)b.u32le();
+  h->ref_id = b.itf8();
+  h->start = b.itf8();
+  h->span = b.itf8();
+  h->n_rec = b.itf8();
+  h->counter = b.ltf8();
+  h->bases = b.ltf8();
+  h->n_blocks = b.itf8();
+  int32_t nl = b.itf8();
+  if (b.fail || nl < 0 || nl > (1 << 20)) return false;
+  h->landmarks.resize(nl);
+  for (int i = 0; i < nl; i++) h->landmarks[i] = b.itf8();
+  b.u32le();  // crc32
+  if (b.fail) return false;
+  h->header_size = b.p - start;
+  return true;
+}
+
+static bool parse_slice_hdr(const std::vector<uint8_t>& data, SliceHdr* sh) {
+  Buf b(data.data(), data.size());
+  sh->ref_id = b.itf8();
+  sh->start = b.itf8();
+  sh->span = b.itf8();
+  sh->n_rec = b.itf8();
+  sh->counter = b.ltf8();
+  sh->n_blocks = b.itf8();
+  int32_t n = b.itf8();
+  if (b.fail || n < 0 || n > (1 << 20)) return false;
+  sh->content_ids.resize(n);
+  for (int i = 0; i < n; i++) sh->content_ids[i] = b.itf8();
+  sh->embedded_ref_id = b.itf8();
+  b.raw(sh->md5, 16);
+  return !b.fail;
+}
+
+// substitution decode: SM byte for ref base packs 2-bit codes for the four
+// alternative bases in "ACGTN"-minus-ref order (CRAM 3.0 §10.3)
+static const char* SUB_ALTS[5] = {"CGTN", "AGTN", "ACTN", "ACGN", "ACGT"};
+
+static int base_index(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return 4;
+  }
+}
+
+static char substitute(const uint8_t sm[5], char refbase, int code) {
+  int i = base_index(refbase);
+  for (int j = 0; j < 4; j++)
+    if (((sm[i] >> (6 - 2 * j)) & 3) == code) return SUB_ALTS[i][j];
+  return 'N';
+}
+
+// ASCII base -> BAM 4-bit code
+static uint8_t nt16(char c) {
+  switch (c) {
+    case '=': return 0;
+    case 'A': case 'a': return 1;
+    case 'C': case 'c': return 2;
+    case 'M': case 'm': return 3;
+    case 'G': case 'g': return 4;
+    case 'R': case 'r': return 5;
+    case 'S': case 's': return 6;
+    case 'V': case 'v': return 7;
+    case 'T': case 't': return 8;
+    case 'W': case 'w': return 9;
+    case 'Y': case 'y': return 10;
+    case 'H': case 'h': return 11;
+    case 'K': case 'k': return 12;
+    case 'D': case 'd': return 13;
+    case 'B': case 'b': return 14;
+    default: return 15;
+  }
+}
+
+// ------------------------------------------------------------- CRAM reader
+
+struct CramReader : Reader {
+  FILE* fp = nullptr;
+  std::string path_;
+  std::string hdr_text;
+  std::vector<std::string> names;
+  std::vector<int64_t> lens;
+  FastaRef fasta;
+  bool have_fasta = false;
+  int64_t data_start = 0;  // offset of the first data container
+
+  struct CraiEnt {
+    int32_t seq;
+    int64_t start, span, coff, soff, ssize;
+  };
+  std::vector<CraiEnt> crai;
+  bool crai_loaded = false;
+
+  // iteration state
+  int mode = 0;
+  int qtid = -1;
+  int64_t qbeg = 0, qend = 0;
+  int64_t next_off = 0;
+  size_t crai_idx = 0;
+  bool iter_done = false;
+  std::vector<BamRec> recq;
+  size_t reci = 0;
+
+  // cached container for CRAI slice queries
+  int64_t cached_coff = -1;
+  std::vector<uint8_t> cached_payload;
+  CompHdr cached_ch;
+  bool cached_ok = false;
+
+  ~CramReader() override {
+    if (fp) fclose(fp);
+  }
+
+  const std::string& header_text() override { return hdr_text; }
+  const std::vector<std::string>& ref_names() override { return names; }
+  const std::vector<int64_t>& ref_lens() override { return lens; }
+  bool has_index() override { return crai_loaded; }
+
+  bool set_fasta(const char* p) override {
+    have_fasta = fasta.open(p);
+    if (!have_fasta) err = "cannot open reference fasta " + std::string(p);
+    return have_fasta;
+  }
+
+  bool open(const char* path) {
+    path_ = path;
+    fp = fopen(path, "rb");
+    if (!fp) { err = "cannot open " + std::string(path); return false; }
+    uint8_t def[26];
+    if (fread(def, 1, 26, fp) != 26 || memcmp(def, "CRAM", 4) != 0) {
+      err = "not a CRAM file";
+      return false;
+    }
+    if (def[4] != 3) {
+      err = "unsupported CRAM major version " + std::to_string(def[4]);
+      return false;
+    }
+    // SAM-header container
+    ContHdr ch;
+    if (!read_cont_hdr(26, &ch)) return false;
+    std::vector<uint8_t> payload(ch.length);
+    if ((int64_t)fread(payload.data(), 1, ch.length, fp) != ch.length) {
+      err = "truncated CRAM header container";
+      return false;
+    }
+    Buf b(payload.data(), payload.size());
+    Block blk;
+    if (!read_block(b, &blk, &err)) return false;
+    if (blk.ctype != BT_FILE_HEADER || blk.data.size() < 4) {
+      err = "first CRAM block is not the SAM header";
+      return false;
+    }
+    Buf hb(blk.data.data(), blk.data.size());
+    uint32_t hlen = hb.u32le();
+    if (hlen > hb.left()) { err = "bad SAM header length"; return false; }
+    hdr_text.assign((const char*)hb.p, hlen);
+    while (!hdr_text.empty() && hdr_text.back() == '\0') hdr_text.pop_back();
+    parse_sq();
+    data_start = 26 + ch.header_size + ch.length;
+    next_off = data_start;
+    load_crai();
+    return true;
+  }
+
+  void parse_sq() {
+    size_t pos = 0;
+    while (pos < hdr_text.size()) {
+      size_t eol = hdr_text.find('\n', pos);
+      if (eol == std::string::npos) eol = hdr_text.size();
+      std::string line = hdr_text.substr(pos, eol - pos);
+      pos = eol + 1;
+      if (line.rfind("@SQ", 0) != 0) continue;
+      std::string sn;
+      int64_t ln = 0;
+      size_t t = 0;
+      while (t < line.size()) {
+        size_t nt = line.find('\t', t);
+        if (nt == std::string::npos) nt = line.size();
+        std::string fld = line.substr(t, nt - t);
+        if (fld.rfind("SN:", 0) == 0) sn = fld.substr(3);
+        if (fld.rfind("LN:", 0) == 0) ln = atoll(fld.c_str() + 3);
+        t = nt + 1;
+      }
+      if (!sn.empty()) {
+        names.push_back(sn);
+        lens.push_back(ln);
+      }
+    }
+  }
+
+  void load_crai() {
+    for (const std::string& cand :
+         {path_ + ".crai",
+          path_.size() > 5 ? path_.substr(0, path_.size() - 5) + ".crai"
+                           : std::string()}) {
+      if (cand.empty()) continue;
+      FILE* f = fopen(cand.c_str(), "rb");
+      if (!f) continue;
+      fseeko(f, 0, SEEK_END);
+      int64_t sz = ftello(f);
+      fseeko(f, 0, SEEK_SET);
+      std::vector<uint8_t> raw(sz);
+      if ((int64_t)fread(raw.data(), 1, sz, f) != sz) { fclose(f); continue; }
+      fclose(f);
+      std::vector<uint8_t> txt;
+      if (sz >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+        if (!gunzip_all(raw.data(), sz, &txt)) continue;
+      } else {
+        txt = raw;
+      }
+      // lines: seq_id \t start \t span \t container_off \t slice_off \t size
+      const char* q = (const char*)txt.data();
+      const char* qe = q + txt.size();
+      while (q < qe) {
+        CraiEnt e;
+        long long v[6] = {0, 0, 0, 0, 0, 0};
+        int fld = 0;
+        const char* line_end = (const char*)memchr(q, '\n', qe - q);
+        if (!line_end) line_end = qe;
+        const char* s = q;
+        while (s < line_end && fld < 6) {
+          v[fld++] = atoll(s);
+          const char* tabp = (const char*)memchr(s, '\t', line_end - s);
+          if (!tabp) break;
+          s = tabp + 1;
+        }
+        if (fld == 6) {
+          e.seq = (int32_t)v[0];
+          e.start = v[1];
+          e.span = v[2];
+          e.coff = v[3];
+          e.soff = v[4];
+          e.ssize = v[5];
+          crai.push_back(e);
+        }
+        q = line_end + 1;
+      }
+      crai_loaded = !crai.empty();
+      if (crai_loaded) return;
+    }
+  }
+
+  bool read_cont_hdr(int64_t off, ContHdr* ch) {
+    for (size_t cap = 1 << 10;; cap <<= 4) {
+      if (fseeko(fp, off, SEEK_SET) != 0) { err = "seek failed"; return false; }
+      std::vector<uint8_t> buf(cap);
+      size_t got = fread(buf.data(), 1, cap, fp);
+      if (got == 0) return false;  // physical EOF
+      Buf b(buf.data(), got);
+      if (parse_cont_hdr(b, ch)) {
+        fseeko(fp, off + ch->header_size, SEEK_SET);
+        return true;
+      }
+      if (got < cap || cap > (1u << 24)) {
+        err = "bad CRAM container header";
+        return false;
+      }
+    }
+  }
+
+  bool begin(int m, int tid, int64_t beg, int64_t end) override {
+    mode = m;
+    qtid = tid;
+    qbeg = beg;
+    qend = end;
+    recq.clear();
+    reci = 0;
+    iter_done = false;
+    next_off = data_start;
+    crai_idx = 0;
+    if (mode == 1 && !crai_loaded) {
+      err = "no .crai index";
+      return false;
+    }
+    return true;
+  }
+
+  int next(BamRec* r) override {
+    while (reci >= recq.size()) {
+      if (iter_done) return 0;
+      int rc = (mode == 1) ? load_next_crai_slice() : load_next_container();
+      if (rc < 0) return -1;
+      if (rc == 0) iter_done = true;
+    }
+    *r = std::move(recq[reci++]);
+    return 1;
+  }
+
+  // ------------------------------------------------------ sequential scan
+
+  // returns 1 if records were (possibly) appended, 0 at EOF, -1 error
+  int load_next_container() {
+    recq.clear();
+    reci = 0;
+    ContHdr ch;
+    if (!read_cont_hdr(next_off, &ch)) return err.empty() ? 0 : -1;
+    int64_t payload_off = next_off + ch.header_size;
+    next_off = payload_off + ch.length;
+    if (ch.n_rec == 0) return 1;  // EOF container or empty: skip payload
+    if (mode == 2 && ch.ref_id >= 0) return 1;  // mapped-only container
+    std::vector<uint8_t> payload(ch.length);
+    if ((int64_t)fread(payload.data(), 1, ch.length, fp) != ch.length) {
+      err = "truncated container";
+      return -1;
+    }
+    CompHdr cmp;
+    Buf b(payload.data(), payload.size());
+    Block blk;
+    if (!read_block(b, &blk, &err)) return -1;
+    if (blk.ctype != BT_COMP_HEADER) {
+      err = "expected compression header block";
+      return -1;
+    }
+    if (!parse_comp_hdr(blk.data, &cmp, &err)) return -1;
+    while (b.p < b.e) {
+      if (!decode_slice_at(&b, cmp)) return -1;
+    }
+    if (mode == 2) {
+      // keep only no-coor records (BamIter mode 2 semantics)
+      size_t w = 0;
+      for (size_t i = 0; i < recq.size(); i++) {
+        if (recq[i].tid >= 0) continue;
+        if (w != i) recq[w] = std::move(recq[i]);
+        w++;
+      }
+      recq.resize(w);
+    }
+    return 1;
+  }
+
+  // ------------------------------------------------------- region queries
+
+  int load_next_crai_slice() {
+    recq.clear();
+    reci = 0;
+    while (crai_idx < crai.size()) {
+      const CraiEnt& e = crai[crai_idx++];
+      bool candidate =
+          (e.seq == qtid &&
+           e.start - 1 < qend && e.start - 1 + e.span > qbeg) ||
+          e.seq == -2;  // multiref slices must be decoded and filtered
+      if (!candidate) continue;
+      if (!load_crai_container(e.coff)) return -1;
+      Buf b(cached_payload.data() + e.soff,
+            cached_payload.size() - (size_t)e.soff);
+      if (!decode_slice_at(&b, cached_ch)) return -1;
+      // overlap filter (htslib iterator semantics: endpos>beg && pos<end)
+      size_t w = 0;
+      for (size_t i = 0; i < recq.size(); i++) {
+        BamRec& r = recq[i];
+        if (!(r.tid == qtid && r.pos < qend && sio::endpos(r) > qbeg)) continue;
+        if (w != i) recq[w] = std::move(r);
+        w++;
+      }
+      recq.resize(w);
+      return 1;
+    }
+    return 0;
+  }
+
+  bool load_crai_container(int64_t coff) {
+    if (cached_coff == coff && cached_ok) return true;
+    cached_ok = false;
+    ContHdr ch;
+    if (!read_cont_hdr(coff, &ch)) {
+      if (err.empty()) err = "bad container offset in .crai";
+      return false;
+    }
+    cached_payload.resize(ch.length);
+    if ((int64_t)fread(cached_payload.data(), 1, ch.length, fp) != ch.length) {
+      err = "truncated container";
+      return false;
+    }
+    Buf b(cached_payload.data(), cached_payload.size());
+    Block blk;
+    if (!read_block(b, &blk, &err)) return false;
+    cached_ch = CompHdr();
+    if (blk.ctype != BT_COMP_HEADER ||
+        !parse_comp_hdr(blk.data, &cached_ch, &err))
+      return false;
+    cached_coff = coff;
+    cached_ok = true;
+    return true;
+  }
+
+  // --------------------------------------------------------- slice decode
+
+  // decode one slice starting at *b (slice header block first), appending
+  // decoded records to recq; advances b past the slice
+  bool decode_slice_at(Buf* b, const CompHdr& cmp) {
+    Block shb;
+    if (!read_block(*b, &shb, &err)) return false;
+    if (shb.ctype != BT_SLICE_HEADER) {
+      err = "expected slice header block";
+      return false;
+    }
+    SliceHdr sh;
+    if (!parse_slice_hdr(shb.data, &sh)) {
+      err = "bad slice header";
+      return false;
+    }
+    std::vector<Block> blocks(sh.n_blocks);
+    for (int i = 0; i < sh.n_blocks; i++)
+      if (!read_block(*b, &blocks[i], &err)) return false;
+    return decode_slice(cmp, sh, blocks);
+  }
+
+  const std::string* ref_for(int tid) {
+    if (tid < 0 || tid >= (int)names.size()) return nullptr;
+    if (!have_fasta) return nullptr;
+    return fasta.fetch(names[tid]);
+  }
+
+  bool decode_slice(const CompHdr& cmp, const SliceHdr& sh,
+                    const std::vector<Block>& blocks) {
+    Ctx c;
+    const std::vector<uint8_t>* embedded_ref = nullptr;
+    for (const Block& blk : blocks) {
+      if (blk.ctype == BT_CORE) {
+        c.core = {blk.data.data(), blk.data.data() + blk.data.size()};
+      } else if (blk.ctype == BT_EXTERNAL) {
+        c.ext[blk.content_id] = {blk.data.data(),
+                                 blk.data.data() + blk.data.size()};
+        if (blk.content_id == sh.embedded_ref_id) embedded_ref = &blk.data;
+      }
+    }
+    auto DS = [&](const char* k) -> const Encoding* { return cmp.get(k); };
+    const Encoding *eBF = DS("BF"), *eCF = DS("CF"), *eRI = DS("RI"),
+                   *eRL = DS("RL"), *eAP = DS("AP"), *eRG = DS("RG"),
+                   *eRN = DS("RN"), *eMF = DS("MF"), *eNS = DS("NS"),
+                   *eNP = DS("NP"), *eTS = DS("TS"), *eNF = DS("NF"),
+                   *eTL = DS("TL"), *eFN = DS("FN"), *eFC = DS("FC"),
+                   *eFP = DS("FP"), *eDL = DS("DL"), *eBB = DS("BB"),
+                   *eQQ = DS("QQ"), *eBS = DS("BS"), *eIN = DS("IN"),
+                   *eSC = DS("SC"), *eHC = DS("HC"), *ePD = DS("PD"),
+                   *eRS = DS("RS"), *eBA = DS("BA"), *eQS = DS("QS"),
+                   *eMQ = DS("MQ");
+    if (!eBF || !eCF || !eRL || !eAP) {
+      err = "missing required data series";
+      return false;
+    }
+    int64_t last_ap = sh.start;
+    size_t base = recq.size();
+    std::vector<int64_t> mate_link(sh.n_rec, -1);
+    std::vector<uint8_t> arr;
+    std::string seqbuf;
+    // per-tid chromosome cache for multiref slices
+    int cur_ref_tid = -3;
+    const std::string* cur_ref = nullptr;
+
+    for (int i = 0; i < sh.n_rec; i++) {
+      BamRec r;
+      int64_t bf = eBF->dec_int(c);
+      int64_t cf = eCF->dec_int(c);
+      int32_t tid = sh.ref_id;
+      if (sh.ref_id == -2) {
+        if (!eRI) { err = "multiref slice without RI"; return false; }
+        tid = (int32_t)eRI->dec_int(c);
+      }
+      int64_t rl = eRL->dec_int(c);
+      int64_t ap;
+      if (cmp.ap_delta) {
+        ap = last_ap + eAP->dec_int(c);
+        last_ap = ap;
+      } else {
+        ap = eAP->dec_int(c);
+      }
+      if (eRG) eRG->dec_int(c);
+      if (cmp.read_names && eRN) {
+        eRN->dec_bytes(c, &arr);
+        r.qname.assign((const char*)arr.data(), arr.size());
+      }
+      r.mate_tid = -1;
+      r.mate_pos = -1;
+      r.isize = 0;
+      if (cf & 0x2) {  // detached
+        int64_t mf = eMF ? eMF->dec_int(c) : 0;
+        if (!cmp.read_names && eRN) {
+          eRN->dec_bytes(c, &arr);
+          r.qname.assign((const char*)arr.data(), arr.size());
+        }
+        r.mate_tid = eNS ? (int32_t)eNS->dec_int(c) : -1;
+        r.mate_pos = eNP ? (int32_t)eNP->dec_int(c) - 1 : -1;
+        r.isize = eTS ? (int32_t)eTS->dec_int(c) : 0;
+        if (mf & 0x1) bf |= 0x20;  // mate reverse
+        if (mf & 0x2) bf |= 0x8;   // mate unmapped
+      } else if (cf & 0x4) {  // mate downstream in this slice
+        int64_t nf = eNF ? eNF->dec_int(c) : 0;
+        mate_link[i] = i + nf + 1;
+      }
+      // tags
+      int64_t tl = eTL ? eTL->dec_int(c) : 0;
+      if (tl < 0 || tl >= (int64_t)cmp.td.size()) {
+        err = "bad TL index";
+        return false;
+      }
+      for (const auto& t : cmp.td[tl]) {
+        int32_t key = ((int32_t)t[0] << 16) | ((int32_t)t[1] << 8) | t[2];
+        auto it = cmp.tags.find(key);
+        if (it == cmp.tags.end()) { err = "missing tag encoding"; return false; }
+        it->second.dec_bytes(c, &arr);  // decode & discard
+      }
+      if (c.fail) { err = c.err.empty() ? "slice decode failed" : c.err; return false; }
+
+      r.tid = tid;
+      r.pos = (int32_t)(ap - 1);
+      r.l_seq = (int32_t)rl;
+      seqbuf.clear();
+      r.cigar.clear();
+
+      if (!(bf & 0x4)) {  // mapped read: features against the reference
+        const char* refp = nullptr;
+        int64_t ref_off = 0;  // value to subtract from 1-based ref pos
+        int64_t ref_len = 0;
+        if (embedded_ref) {
+          refp = (const char*)embedded_ref->data();
+          ref_off = sh.start;  // embedded ref starts at slice start
+          ref_len = (int64_t)embedded_ref->size();
+        } else if (cmp.ref_required) {
+          if (tid != cur_ref_tid) {
+            cur_ref = ref_for(tid);
+            cur_ref_tid = tid;
+          }
+          if (cur_ref) {
+            refp = cur_ref->data();
+            ref_off = 1;
+            ref_len = (int64_t)cur_ref->size();
+          } else if (have_fasta) {
+            err = "reference sequence not found for CRAM slice";
+            return false;
+          } else {
+            err = "CRAM decode requires the reference fasta (pass --fasta)";
+            return false;
+          }
+        }
+        auto refbase = [&](int64_t pos1) -> char {
+          int64_t k = pos1 - ref_off;
+          if (!refp || k < 0 || k >= ref_len) return 'N';
+          return refp[k];
+        };
+        auto addcig = [&](int op, int64_t len) {
+          if (len <= 0) return;
+          if (!r.cigar.empty() && (int)(r.cigar.back() & 0xf) == op)
+            r.cigar.back() += (uint32_t)(len << 4);
+          else
+            r.cigar.push_back((uint32_t)((len << 4) | op));
+        };
+        int64_t fn = eFN ? eFN->dec_int(c) : 0;
+        int64_t rpos = ap;  // 1-based reference cursor
+        int64_t qpos = 1;   // 1-based read cursor
+        int64_t prev_fp = 0;
+        for (int64_t f = 0; f < fn && !c.fail; f++) {
+          int fc = eFC ? eFC->dec_byte(c) : 0;
+          int64_t fp_ = prev_fp + (eFP ? eFP->dec_int(c) : 0);
+          prev_fp = fp_;
+          int64_t gap = fp_ - qpos;
+          if (gap > 0) {
+            for (int64_t g = 0; g < gap; g++) seqbuf.push_back(refbase(rpos + g));
+            addcig(0, gap);
+            rpos += gap;
+            qpos += gap;
+          }
+          switch (fc) {
+            case 'B': {
+              int ba = eBA ? eBA->dec_byte(c) : 'N';
+              if (eQS) eQS->dec_byte(c);
+              seqbuf.push_back((char)ba);
+              addcig(0, 1);
+              rpos++; qpos++;
+              break;
+            }
+            case 'X': {
+              int code = eBS ? eBS->dec_byte(c) : 0;
+              seqbuf.push_back(substitute(cmp.sm, refbase(rpos), code));
+              addcig(0, 1);
+              rpos++; qpos++;
+              break;
+            }
+            case 'S': {
+              if (!eSC || !eSC->dec_bytes(c, &arr)) { c.fail = true; break; }
+              seqbuf.append((const char*)arr.data(), arr.size());
+              addcig(4, (int64_t)arr.size());
+              qpos += (int64_t)arr.size();
+              break;
+            }
+            case 'I': {
+              if (!eIN || !eIN->dec_bytes(c, &arr)) { c.fail = true; break; }
+              seqbuf.append((const char*)arr.data(), arr.size());
+              addcig(1, (int64_t)arr.size());
+              qpos += (int64_t)arr.size();
+              break;
+            }
+            case 'i': {
+              int ba = eBA ? eBA->dec_byte(c) : 'N';
+              seqbuf.push_back((char)ba);
+              addcig(1, 1);
+              qpos++;
+              break;
+            }
+            case 'b': {
+              if (!eBB || !eBB->dec_bytes(c, &arr)) { c.fail = true; break; }
+              seqbuf.append((const char*)arr.data(), arr.size());
+              addcig(0, (int64_t)arr.size());
+              rpos += (int64_t)arr.size();
+              qpos += (int64_t)arr.size();
+              break;
+            }
+            case 'q': {
+              if (!eQQ || !eQQ->dec_bytes(c, &arr)) c.fail = true;
+              break;
+            }
+            case 'Q': {
+              if (eQS) eQS->dec_byte(c);
+              break;
+            }
+            case 'D': {
+              int64_t n = eDL ? eDL->dec_int(c) : 0;
+              addcig(2, n);
+              rpos += n;
+              break;
+            }
+            case 'N': {
+              int64_t n = eRS ? eRS->dec_int(c) : 0;
+              addcig(3, n);
+              rpos += n;
+              break;
+            }
+            case 'P': {
+              int64_t n = ePD ? ePD->dec_int(c) : 0;
+              addcig(6, n);
+              break;
+            }
+            case 'H': {
+              int64_t n = eHC ? eHC->dec_int(c) : 0;
+              addcig(5, n);
+              break;
+            }
+            default:
+              err = std::string("unknown feature code '") + (char)fc + "'";
+              return false;
+          }
+        }
+        int64_t tail = rl - (qpos - 1);
+        if (tail > 0) {
+          for (int64_t g = 0; g < tail; g++) seqbuf.push_back(refbase(rpos + g));
+          addcig(0, tail);
+        }
+        r.mapq = eMQ ? (uint8_t)eMQ->dec_int(c) : 0;
+        if (cf & 0x1) {  // stored quality scores: consume & discard
+          for (int64_t q = 0; q < rl && !c.fail; q++)
+            if (eQS) eQS->dec_byte(c);
+        }
+      } else {  // unmapped
+        r.mapq = 0;
+        if (cf & 0x8) {
+          seqbuf.assign(rl, 'N');  // SEQ "*"
+        } else {
+          for (int64_t q = 0; q < rl && !c.fail; q++)
+            seqbuf.push_back((char)(eBA ? eBA->dec_byte(c) : 'N'));
+        }
+        if (cf & 0x1) {
+          for (int64_t q = 0; q < rl && !c.fail; q++)
+            if (eQS) eQS->dec_byte(c);
+        }
+      }
+      if (c.fail) { err = c.err.empty() ? "slice decode failed" : c.err; return false; }
+      r.flag = (uint16_t)bf;
+      r.n_cigar = (uint16_t)r.cigar.size();
+      // pack sequence to 4-bit
+      r.seq4.assign(((size_t)rl + 1) / 2, 0);
+      for (int64_t q = 0; q < rl; q++) {
+        uint8_t nib = nt16(q < (int64_t)seqbuf.size() ? seqbuf[q] : 'N');
+        r.seq4[q >> 1] |= (q & 1) ? nib : (uint8_t)(nib << 4);
+      }
+      recq.push_back(std::move(r));
+    }
+
+    // resolve downstream-mate pairs (CRAM 3.0 §10.5)
+    for (int i = 0; i < sh.n_rec; i++) {
+      if (mate_link[i] < 0) continue;
+      if (mate_link[i] >= sh.n_rec) { err = "mate link out of slice"; return false; }
+      BamRec& a = recq[base + i];
+      BamRec& m = recq[base + mate_link[i]];
+      a.mate_tid = m.tid;
+      a.mate_pos = m.pos;
+      m.mate_tid = a.tid;
+      m.mate_pos = a.pos;
+      if (m.flag & 0x10) a.flag |= 0x20;
+      if (m.flag & 0x4) a.flag |= 0x8;
+      if (a.flag & 0x10) m.flag |= 0x20;
+      if (a.flag & 0x4) m.flag |= 0x8;
+      int64_t aleft = std::min(a.pos, m.pos);
+      int64_t aright = std::max(sio::endpos(a), sio::endpos(m));
+      int32_t tlen = (int32_t)(aright - aleft);
+      if (a.pos <= m.pos) {
+        a.isize = tlen;
+        m.isize = -tlen;
+      } else {
+        a.isize = -tlen;
+        m.isize = tlen;
+      }
+    }
+    return true;
+  }
+};
+
+}  // namespace
+
+namespace sio {
+
+Reader* open_cram(const char* path) {
+  CramReader* r = new CramReader();
+  if (!r->open(path)) {
+    fprintf(stderr, "[strling] CRAM open failed: %s\n", r->err.c_str());
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+}  // namespace sio
+
+// test hook: decode one rANS4x8 stream (order 0/1); returns output size or -1
+extern "C" int64_t sio_rans_decode(const uint8_t* in, int64_t in_sz,
+                                   uint8_t* out, int64_t out_cap) {
+  std::vector<uint8_t> o;
+  if (!rans_decode(in, (size_t)in_sz, &o)) return -1;
+  if ((int64_t)o.size() > out_cap) return -1;
+  memcpy(out, o.data(), o.size());
+  return (int64_t)o.size();
+}

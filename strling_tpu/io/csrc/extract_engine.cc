@@ -22,9 +22,8 @@
 
 namespace {
 
-using sio::BamFile;
-using sio::BamIter;
 using sio::BamRec;
+using sio::Reader;
 using sio::endpos;
 
 constexpr uint16_t FLAG_PROPER_PAIR = 0x2;
@@ -132,8 +131,8 @@ struct KernelResult {
 };
 
 struct Engine {
-  BamFile* bam = nullptr;
-  BamIter iter;
+  Reader* src = nullptr;
+  bool begun = false;
   double proportion_repeat = 0.8;
   int min_mapq = 40;
   int64_t median_fragment_length = 0;
@@ -184,20 +183,22 @@ struct Engine {
     int64_t rows = 0;
     std::string seq;
     BamRec r;
+    if (!begun) {
+      src->begin(0, -1, 0, 0);
+      begun = true;
+    }
     while ((int64_t)pending.size() < max_records && phase < 2) {
       if (rows + 5 > rows_cap) break;  // a record adds at most 1 + 2*2 rows
-      int rc = iter.next(&r);
+      int rc = src->next(&r);
       if (rc < 0) {
-        err = iter.err;
+        err = src->err;
         return -1;
       }
       if (rc == 0) {
         if (phase == 0) {
           // switch to the no-coor block (extract.nim:326: query("*"))
           phase = 1;
-          iter = BamIter();
-          iter.bam = bam;
-          iter.mode = 2;
+          src->begin(2, -1, 0, 0);
           continue;
         }
         phase = 2;
@@ -439,14 +440,12 @@ void* sio_ex_create(void* bam_handle, double proportion_repeat, int min_mapq,
                     int64_t median_fragment_length, int Lmax) {
   auto* h = (sio::Handle*)bam_handle;
   Engine* e = new Engine();
-  e->bam = &h->bam;
+  e->src = h->rd;
   e->proportion_repeat = proportion_repeat;
   e->min_mapq = min_mapq;
   e->median_fragment_length = median_fragment_length;
   e->Lmax = Lmax;
-  e->iter.bam = e->bam;
-  e->iter.mode = 0;
-  int n = (int)h->bam.ref_names.size();
+  int n = (int)h->rd->ref_names().size();
   e->gi_starts.resize(n);
   e->gi_pmax.resize(n);
   return e;
@@ -518,9 +517,8 @@ const char* sio_ex_error(void* ve) { return ((Engine*)ve)->err.c_str(); }
 int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
                   uint32_t* hist /*4096*/, int32_t* max_read_len) {
   auto* h = (sio::Handle*)bam_handle;
-  BamIter it;
-  it.bam = &h->bam;
-  it.mode = 0;
+  Reader* rd = h->rd;
+  rd->begin(0, -1, 0, 0);
   memset(hist, 0, 4096 * sizeof(uint32_t));
   *max_read_len = 0;
   std::vector<int32_t> skipped;
@@ -528,7 +526,7 @@ int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
   int64_t i = -1;
   int64_t counted = 0;
   while (true) {
-    int rc = it.next(&r);
+    int rc = rd->next(&r);
     if (rc <= 0) break;
     i++;
     *max_read_len = std::max(*max_read_len, r.l_seq);

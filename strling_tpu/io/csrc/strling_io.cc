@@ -2,29 +2,56 @@
 
 using namespace sio;
 
+namespace {
+
+// detect container format by magic: raw "CRAM" vs BGZF(gzip)-wrapped BAM
+bool is_cram(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  char magic[4] = {0, 0, 0, 0};
+  size_t n = fread(magic, 1, 4, f);
+  fclose(f);
+  return n == 4 && memcmp(magic, "CRAM", 4) == 0;
+}
+
+}  // namespace
+
 extern "C" {
 
 void* sio_open(const char* path) {
   Handle* h = new Handle();
-  if (!h->bam.open(path)) {
+  if (is_cram(path)) {
+    h->rd = open_cram(path);
+  } else {
+    BamReader* br = new BamReader();
+    if (!br->open(path)) {
+      delete br;
+      br = nullptr;
+    }
+    h->rd = br;
+  }
+  if (!h->rd) {
     delete h;
     return nullptr;
   }
   return h;
 }
 
-void sio_close(void* vh) {
-  Handle* h = (Handle*)vh;
-  delete h->it;
-  delete h;
+// attach the reference FASTA (required to decode reference-based CRAM)
+int sio_set_fasta(void* vh, const char* path) {
+  return ((Handle*)vh)->rd->set_fasta(path) ? 0 : -1;
 }
 
-int sio_nrefs(void* vh) { return (int)((Handle*)vh)->bam.ref_names.size(); }
+void sio_close(void* vh) { delete (Handle*)vh; }
 
-int64_t sio_ref_len(void* vh, int i) { return ((Handle*)vh)->bam.ref_lens[i]; }
+int sio_nrefs(void* vh) {
+  return (int)((Handle*)vh)->rd->ref_names().size();
+}
+
+int64_t sio_ref_len(void* vh, int i) { return ((Handle*)vh)->rd->ref_lens()[i]; }
 
 int sio_ref_name(void* vh, int i, char* buf, int cap) {
-  const std::string& s = ((Handle*)vh)->bam.ref_names[i];
+  const std::string& s = ((Handle*)vh)->rd->ref_names()[i];
   int n = (int)std::min<size_t>(s.size(), cap - 1);
   memcpy(buf, s.data(), n);
   buf[n] = 0;
@@ -32,7 +59,7 @@ int sio_ref_name(void* vh, int i, char* buf, int cap) {
 }
 
 int64_t sio_header_text(void* vh, char* buf, int64_t cap) {
-  const std::string& s = ((Handle*)vh)->bam.header_text;
+  const std::string& s = ((Handle*)vh)->rd->header_text();
   if (buf && cap > 0) {
     int64_t n = std::min<int64_t>((int64_t)s.size(), cap);
     memcpy(buf, s.data(), n);
@@ -40,19 +67,12 @@ int64_t sio_header_text(void* vh, char* buf, int64_t cap) {
   return (int64_t)s.size();
 }
 
-int sio_has_index(void* vh) { return ((Handle*)vh)->bam.bai.loaded ? 1 : 0; }
+int sio_has_index(void* vh) { return ((Handle*)vh)->rd->has_index() ? 1 : 0; }
 
 // start an iterator on this handle. mode: 0=all, 1=region(tid,beg,end), 2="*"
 int sio_begin(void* vh, int mode, int tid, int64_t beg, int64_t end) {
   Handle* h = (Handle*)vh;
-  delete h->it;
-  h->it = new BamIter();
-  h->it->bam = &h->bam;
-  h->it->mode = mode;
-  h->it->tid = tid;
-  h->it->beg = beg;
-  h->it->end = end;
-  return 0;
+  return h->rd->begin(mode, tid, beg, end) ? 0 : -1;
 }
 
 // Fill a batch of up to `cap` records. Returns count (0 = iterator end, -1 =
@@ -66,7 +86,6 @@ int64_t sio_next_batch(void* vh, int64_t cap, int Lmax, int32_t* tid,
                        int64_t* cigar_off, char* qname_buf, int64_t qname_cap,
                        int64_t* qname_off) {
   Handle* h = (Handle*)vh;
-  if (!h->it) return -1;
   BamRec r;
   int64_t n = 0;
   int64_t coff = 0, qoff = 0;
@@ -76,7 +95,7 @@ int64_t sio_next_batch(void* vh, int64_t cap, int Lmax, int32_t* tid,
     // capacity check for variable-length blobs: peek-free, so require space
     // for a worst-case record before reading
     if (coff + 65535 > cigar_cap || qoff + 256 > qname_cap) break;
-    int rc = h->it->next(&r);
+    int rc = h->rd->next(&r);
     if (rc < 0) return -1;
     if (rc == 0) break;
     tid[n] = r.tid;
@@ -124,8 +143,7 @@ int64_t sio_next_batch(void* vh, int64_t cap, int Lmax, int32_t* tid,
 
 const char* sio_error(void* vh) {
   Handle* h = (Handle*)vh;
-  if (h->it && !h->it->err.empty()) return h->it->err.c_str();
-  return h->bam.err.c_str();
+  return h->rd->err.c_str();
 }
 
 }  // extern "C"

@@ -420,9 +420,60 @@ struct BamIter {
   }
 };
 
-struct Handle {
+// ------------------------------------------------------------ Reader interface
+//
+// Abstracts BAM vs CRAM behind one record-stream API so the extract engine,
+// frag-hist pass and batch iterators work on either container format
+// (the reference gets this polymorphism from htslib; extract.nim:275-329).
+
+struct Reader {
+  std::string err;
+  virtual ~Reader() = default;
+  virtual const std::string& header_text() = 0;
+  virtual const std::vector<std::string>& ref_names() = 0;
+  virtual const std::vector<int64_t>& ref_lens() = 0;
+  virtual bool has_index() = 0;
+  // CRAM needs the reference FASTA for sequence reconstruction; no-op for BAM
+  virtual bool set_fasta(const char* /*path*/) { return true; }
+  // mode 0 = whole file, 1 = region [beg,end) on tid, 2 = no-coor ("*")
+  virtual bool begin(int mode, int tid, int64_t beg, int64_t end) = 0;
+  virtual int next(BamRec* r) = 0;  // 1 ok, 0 end, -1 error
+};
+
+struct BamReader : Reader {
   BamFile bam;
-  BamIter* it = nullptr;
+  BamIter it;
+
+  bool open(const char* path) {
+    if (!bam.open(path)) { err = bam.err; return false; }
+    return true;
+  }
+  const std::string& header_text() override { return bam.header_text; }
+  const std::vector<std::string>& ref_names() override { return bam.ref_names; }
+  const std::vector<int64_t>& ref_lens() override { return bam.ref_lens; }
+  bool has_index() override { return bam.bai.loaded; }
+  bool begin(int mode, int tid, int64_t beg, int64_t end) override {
+    it = BamIter();
+    it.bam = &bam;
+    it.mode = mode;
+    it.tid = tid;
+    it.beg = beg;
+    it.end = end;
+    return true;
+  }
+  int next(BamRec* r) override {
+    int rc = it.next(r);
+    if (rc < 0) err = it.err.empty() ? bam.err : it.err;
+    return rc;
+  }
+};
+
+// implemented in cram.cc
+Reader* open_cram(const char* path);
+
+struct Handle {
+  Reader* rd = nullptr;
+  ~Handle() { delete rd; }
 };
 
 // CIGAR summary + batch fill shared by all iterators

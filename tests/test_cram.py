@@ -1,0 +1,264 @@
+"""CRAM 3.0: native C++ reader (io/csrc/cram.cc) vs pure-Python writer.
+
+Two independent implementations of the format: records written as CRAM must
+decode identically to the same records written as BAM (the native BAM reader
+is already equivalence-tested against the reference semantics). Covers
+reference-based features, verbatim bases, embedded reference, AP delta on and
+off, multiref slices, detached + downstream mates, CRAI region queries, the
+no-coor scan, and the rANS4x8 codec itself.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from strling_tpu.io.bam import Bam, _load
+from strling_tpu.io.bamwrite import BamRecord, write_bam
+from strling_tpu.io.cramwrite import rans_encode_o0, rans_encode_o1, write_cram
+from strling_tpu.io.fasta import build_fai, write_fasta
+
+# ------------------------------------------------------------------- rANS
+
+
+def native_rans_decode(blob: bytes, out_sz: int) -> bytes:
+    lib = _load()
+    out = np.zeros(max(out_sz, 1), np.uint8)
+    n = lib.sio_rans_decode(blob, len(blob), out, len(out))
+    assert n == out_sz, f"rANS decode returned {n}, want {out_sz}"
+    return bytes(out[:out_sz])
+
+
+def rans_cases():
+    rng = random.Random(7)
+    cases = [
+        b"\x00",
+        b"\x00" * 100,
+        b"a",
+        b"ab",
+        b"abc",
+        b"abcd",
+        b"abcde",
+        bytes(range(256)) * 3,
+        b"ACGTACGTACGT" * 50,
+        bytes(rng.randrange(256) for _ in range(10007)),
+        bytes(rng.choice(b"ACGTN") for _ in range(4096)),
+        bytes(rng.choice(b"\x01\x02") for _ in range(777)),
+    ]
+    return cases
+
+
+@pytest.mark.parametrize("i", range(len(rans_cases())))
+def test_rans_o0_roundtrip(i):
+    data = rans_cases()[i]
+    assert native_rans_decode(rans_encode_o0(data), len(data)) == data
+
+
+@pytest.mark.parametrize("i", range(len(rans_cases())))
+def test_rans_o1_roundtrip(i):
+    data = rans_cases()[i]
+    assert native_rans_decode(rans_encode_o1(data), len(data)) == data
+
+
+# ------------------------------------------------------------ CRAM fixtures
+
+HEADER = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:50000\n"
+TARGETS = [("chr1", 100000), ("chr2", 50000)]
+
+
+def make_ref():
+    rng = random.Random(42)
+    return {
+        "chr1": "".join(rng.choice("ACGT") for _ in range(100000)),
+        "chr2": "".join(rng.choice("ACGT") for _ in range(50000)),
+    }
+
+
+def make_records(ref):
+    """Reads sampled from the reference with mismatches, indels, clips,
+    proper pairs (downstream-mate eligible), inconsistent pairs (detached),
+    a multi-chrom region and unmapped tail reads."""
+    rng = random.Random(1)
+    recs = []
+
+    def read_from(chrom, pos, L=100, mismatches=2):
+        s = list(ref[chrom][pos:pos + L])
+        for _ in range(mismatches):
+            k = rng.randrange(L)
+            s[k] = rng.choice("ACGT".replace(s[k], ""))
+        return "".join(s)
+
+    for i in range(60):
+        pos = 1000 + i * 101
+        mpos = pos + 250
+        seq1 = read_from("chr1", pos)
+        seq2 = read_from("chr1", mpos)
+        tlen = mpos + 100 - pos
+        recs.append(BamRecord(f"p{i}", 99, 0, pos, 60, "100M", 0, mpos, tlen, seq1))
+        recs.append(BamRecord(f"p{i}", 147, 0, mpos, 60, "100M", 0, pos, -tlen, seq2))
+    # inconsistent isize -> must fall back to detached
+    recs.append(BamRecord("d0", 99, 0, 30000, 60, "100M", 0, 30300, 12345,
+                          read_from("chr1", 30000)))
+    recs.append(BamRecord("d0", 147, 0, 30300, 60, "100M", 0, 30000, -12345,
+                          read_from("chr1", 30300)))
+    # soft clips, insertion, deletion, skip, hardclip, single-base insert
+    recs.append(BamRecord("sc", 0, 0, 40000, 42, "20S60M20S", -1, -1, 0,
+                          "T" * 20 + read_from("chr1", 40000, 60, 1) + "G" * 20))
+    recs.append(BamRecord("ins", 0, 0, 40100, 42, "40M8I52M", -1, -1, 0,
+                          read_from("chr1", 40100, 40, 0) + "AACCGGTT"
+                          + read_from("chr1", 40140, 52, 0)))
+    recs.append(BamRecord("ins1", 0, 0, 40200, 42, "50M1I49M", -1, -1, 0,
+                          read_from("chr1", 40200, 50, 0) + "A"
+                          + read_from("chr1", 40250, 49, 0)))
+    recs.append(BamRecord("del", 0, 0, 40300, 42, "50M10D50M", -1, -1, 0,
+                          read_from("chr1", 40300, 50, 1)
+                          + read_from("chr1", 40360, 50, 1)))
+    recs.append(BamRecord("skip", 0, 0, 40400, 42, "30M1000N70M", -1, -1, 0,
+                          read_from("chr1", 40400, 30, 0)
+                          + read_from("chr1", 41430, 70, 0)))
+    recs.append(BamRecord("hc", 0, 0, 40500, 42, "5H100M3H", -1, -1, 0,
+                          read_from("chr1", 40500, 100, 1)))
+    # N bases in the read (substitution to N uses the SM matrix too)
+    recs.append(BamRecord("nn", 0, 0, 40600, 9, "100M", -1, -1, 0,
+                          "N" * 10 + read_from("chr1", 40610, 90, 0)))
+    # chr2 reads (multiref slice when slice_size spans the chrom boundary)
+    for i in range(10):
+        pos = 500 + i * 333
+        recs.append(BamRecord(f"c2_{i}", 0, 1, pos, 33, "100M", -1, -1, 0,
+                              read_from("chr2", pos)))
+    recs.sort(key=lambda r: (r.tid if r.tid >= 0 else 1 << 30, r.pos))
+    # unmapped pair at the end (no-coor block)
+    recs.append(BamRecord("u1", 77, -1, -1, 0, "*", -1, -1, 0, "ACAC" * 25))
+    recs.append(BamRecord("u1", 141, -1, -1, 0, "*", -1, -1, 0, "GTGT" * 25))
+    return recs
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cram")
+    ref = make_ref()
+    fa = d / "ref.fa"
+    write_fasta(str(fa), ref)
+    build_fai(str(fa), str(fa) + ".fai")
+    recs = make_records(ref)
+    bam = d / "t.bam"
+    write_bam(str(bam), HEADER, TARGETS, recs)
+    return {"dir": d, "ref": ref, "fa": str(fa), "recs": recs, "bam": str(bam)}
+
+
+def collect(handle_iter):
+    out = []
+    for batch in handle_iter:
+        for i in range(len(batch)):
+            cig = tuple(int(c) for c in batch.cigar_of(i))
+            out.append((
+                batch.qname(i), int(batch.flag[i]), int(batch.tid[i]),
+                int(batch.pos[i]), int(batch.mapq[i]), cig,
+                int(batch.mate_tid[i]), int(batch.mate_pos[i]),
+                int(batch.isize[i]), batch.seq_str(i),
+            ))
+    return out
+
+
+def assert_same_records(bam_path, cram_path, fasta=None):
+    b = Bam(bam_path)
+    c = Bam(cram_path, fasta=fasta)
+    assert c.header_text == b.header_text
+    assert [(t.name, t.length) for t in c.targets] == [
+        (t.name, t.length) for t in b.targets
+    ]
+    got = collect(c.batches())
+    want = collect(b.batches())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, f"\ncram: {g}\nbam:  {w}"
+
+
+def test_ref_based_roundtrip(paths):
+    p = str(paths["dir"] / "ref_based.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"], slice_size=37)
+    assert_same_records(paths["bam"], p, fasta=paths["fa"])
+
+
+def test_verbatim_roundtrip(paths):
+    """No reference at write time ('b' features, RR=false): none at read time."""
+    p = str(paths["dir"] / "verbatim.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=None, slice_size=64)
+    assert_same_records(paths["bam"], p, fasta=None)
+
+
+def test_embedded_ref_roundtrip(paths):
+    """Embedded-reference slices decode without the FASTA."""
+    p = str(paths["dir"] / "embed.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["ref"],
+               slice_size=50, embed_ref=True)
+    assert_same_records(paths["bam"], p, fasta=None)
+
+
+def test_ap_non_delta_roundtrip(paths):
+    p = str(paths["dir"] / "nodelta.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["ref"],
+               slice_size=1000, ap_delta=False)
+    assert_same_records(paths["bam"], p, fasta=paths["fa"])
+
+
+def test_region_query(paths):
+    p = str(paths["dir"] / "q.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"], slice_size=16)
+    b = Bam(paths["bam"])
+    c = Bam(p, fasta=paths["fa"])
+    assert c.has_index
+    for tid, beg, end in [(0, 1500, 2500), (0, 0, 100000), (0, 40310, 40320),
+                          (1, 600, 900), (1, 0, 50000), (0, 99000, 100000)]:
+        want = collect(b.query(tid, beg, end))
+        got = collect(c.query(tid, beg, end))
+        assert got == want, (tid, beg, end)
+
+
+def test_unmapped_query(paths):
+    p = str(paths["dir"] / "u.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"], slice_size=33)
+    b = Bam(paths["bam"])
+    c = Bam(p, fasta=paths["fa"])
+    want = collect(b.query_unmapped())
+    got = collect(c.query_unmapped())
+    assert [g[0] for g in got] == ["u1", "u1"]
+    assert got == want
+
+
+def test_extract_cram_equals_bam(paths):
+    """End-to-end: the native extract engine produces identical treads from
+    CRAM and BAM inputs (extract.nim:275-329 accepts either via htslib)."""
+    from strling_tpu.core.extract import extract_native
+
+    p = str(paths["dir"] / "x.cram")
+    # STR-rich synthetic reads so extract emits treads
+    ref = paths["ref"]
+    rng = random.Random(3)
+    recs = []
+    for i in range(40):
+        pos = 2000 + i * 71
+        seq = ref["chr1"][pos:pos + 100]
+        mpos = pos + 220
+        mseq = "ATT" * 34  # STR-saturated mate
+        tlen = mpos + 100 - pos
+        recs.append(BamRecord(f"s{i}", 99, 0, pos, 60, "100M", 0, mpos, tlen, seq))
+        recs.append(BamRecord(f"s{i}", 147, 0, mpos, 3, "100M", 0, pos, -tlen,
+                              mseq[:100]))
+    recs.sort(key=lambda r: (r.tid, r.pos))
+    bam_p = str(paths["dir"] / "x.bam")
+    write_bam(bam_p, HEADER, TARGETS, recs)
+    write_cram(p, HEADER, TARGETS, recs, fasta=paths["fa"], slice_size=29)
+
+    out = {}
+    for name, path in [("bam", bam_p), ("cram", p)]:
+        h = Bam(path, fasta=paths["fa"])
+        treads, frag, _ = extract_native(h, None, None, proportion_repeat=0.8,
+                                         min_mapq=40)
+        out[name] = (treads, frag)
+    tb, fb = out["bam"]
+    tc, fc = out["cram"]
+    assert np.array_equal(fb, fc)
+    assert len(tb.data) == len(tc.data) > 0
+    assert np.array_equal(tb.data, tc.data)
+    assert tb.qnames == tc.qnames
