@@ -28,7 +28,7 @@ NEG = -1
 
 
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
-            codes_s, wmin_s, valid_s, match_s):
+            codes_s, wmin_s, match_s):
     L, TB = bases_ref.shape
     basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
     codes = (basesi >> 1) & 3  # [L, TB]
@@ -66,34 +66,52 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         wmin = jnp.where(validw, wmin, NEG)
 
         # --- modal code with running-argmax tie-break (utils.nim:192-211) --
-        # total_j = #occurrences of code_j; occ_j = #occurrences at i <= j.
-        # Row i is re-read through VMEM scratch (value dynamic_slice is not
-        # lowerable in Mosaic).
-        wmin_s[:W, :] = wmin
-        valid_s[:W, :] = validw.astype(jnp.int32)
-
-        def modal_body(i, carry):
-            total, occ = carry
-            row = wmin_s[pl.ds(i, 1), :]
-            row_valid = valid_s[pl.ds(i, 1), :] > 0
-            eq = (wmin == row) & row_valid & validw  # [W, TB]
-            eqi = eq.astype(jnp.int32)
-            total = total + eqi
-            le = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) >= i
-            occ = occ + eqi * le.astype(jnp.int32)
-            return total, occ
-
-        total, occ = jax.lax.fori_loop(
-            0, W, modal_body,
-            (jnp.zeros((W, TB), jnp.int32), jnp.zeros((W, TB), jnp.int32)),
-        )
-        M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)  # [1, TB]
-        cand = validw & (total == M) & (occ == M) & (M > 0)
+        # Winner = the code with the highest total whose LAST occurrence
+        # comes earliest (same semantics as the reference's running
+        # CountTable argmax; cross-validated in tests/test_kmer*.py).
         widx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
-        jstar = jnp.min(jnp.where(cand, widx, W), axis=0, keepdims=True)
-        sel = cand & (widx == jstar)
-        modal = jnp.max(jnp.where(sel, wmin, NEG), axis=0, keepdims=True)  # [1, TB]
-        kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
+        if k == 2:
+            # by value: only 16 possible window codes, so count each code
+            # directly instead of the O(W^2) pairwise loop
+            M = jnp.zeros((1, TB), jnp.int32)
+            best_last = jnp.full((1, TB), W, jnp.int32)
+            modal = jnp.full((1, TB), NEG, jnp.int32)
+            for v in range(1 << (2 * k)):
+                eq = wmin == v  # invalid windows are NEG and never match
+                tot = eq.astype(jnp.int32).sum(axis=0, keepdims=True)
+                last = jnp.max(jnp.where(eq, widx, -1), axis=0, keepdims=True)
+                better = (tot > M) | ((tot == M) & (tot > 0) & (last < best_last))
+                M = jnp.where(better, tot, M)
+                best_last = jnp.where(better, last, best_last)
+                modal = jnp.where(better, v, modal)
+            kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
+        else:
+            # pairwise totals + running last-occurrence max. total_j counts
+            # matches among valid windows only (invalid rows are NEG, which
+            # never equals a valid code; NEG-vs-NEG hits are filtered by the
+            # validw gate below). Row i is re-read through VMEM scratch
+            # (value dynamic_slice is not lowerable in Mosaic).
+            wmin_s[:W, :] = wmin
+
+            def modal_body(i, carry):
+                total, lastmax = carry
+                row = wmin_s[pl.ds(i, 1), :]
+                eq = wmin == row  # [W, TB]
+                total = total + eq.astype(jnp.int32)
+                lastmax = jnp.maximum(lastmax, jnp.where(eq, i, -1))
+                return total, lastmax
+
+            total, lastmax = jax.lax.fori_loop(
+                0, W, modal_body,
+                (jnp.zeros((W, TB), jnp.int32), jnp.full((W, TB), -1, jnp.int32)),
+            )
+            M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)
+            # lastmax == widx marks the last occurrence of each code
+            cand = validw & (total == M) & (lastmax == widx) & (M > 0)
+            jstar = jnp.min(jnp.where(cand, widx, W), axis=0, keepdims=True)
+            sel = cand & (widx == jstar)
+            modal = jnp.max(jnp.where(sel, wmin, NEG), axis=0, keepdims=True)
+            kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
         # decode: modal == -1 behaves as all-ones bits ("G"*k, utils.nim:197)
         modal_eff = jnp.where(modal < 0, (1 << (2 * k)) - 1, modal)
 
@@ -206,7 +224,6 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((L, TILE_B), jnp.int32),       # 2-bit codes
             pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # wmin rows (W <= L/2)
-            pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # valid rows
             pltpu.VMEM((L, TILE_B), jnp.int32),       # match rows
         ],
         interpret=interpret,
