@@ -173,8 +173,21 @@ def merge_main(argv):
     p.add_argument("-o", "--output-prefix", default="strling")
     p.add_argument("-d", "--diff-refs", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard locus space over the device mesh "
+                        "(multi-host under jax.distributed)")
     p.add_argument("bin", nargs="+")
     a = p.parse_args(argv)
+    if a.distributed:
+        from strling_tpu.parallel.merge_dist import run_merge_dist
+
+        run_merge_dist(
+            a.bin, a.fasta or None, a.window, a.min_support,
+            None if a.chromosome == "-2" else a.chromosome, a.min_clip,
+            a.min_clip_total, a.min_mapq, a.bed or None, a.output_prefix,
+            a.verbose,
+        )
+        return
     run_merge(
         a.bin, a.fasta or None, a.window, a.min_support,
         None if a.chromosome == "-2" else a.chromosome, a.min_clip,
