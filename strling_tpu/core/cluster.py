@@ -7,8 +7,8 @@ storage instead of copying read sequences around.
 
 Divergence note (documented, deliberate): the reference breaks ties in
 CountTable.largest by Nim hash-table iteration order (cluster.nim:204-211,
-300-303), which is an implementation artifact. Here ties break by first
-occurrence in read order — identical in all non-tied cases.
+300-303), which is an implementation artifact. Here ties go to the key that
+reaches the max count first in read order — identical in all non-tied cases.
 """
 
 from __future__ import annotations
@@ -104,20 +104,27 @@ def _posmed(positions: np.ndarray, n: int = MEDIANI) -> int:
     return int(positions[mid])
 
 
-def _largest(keys: Sequence[int]) -> tuple[int, int]:
-    """(key, count) with max count; ties -> first occurrence in input order.
+def _largest(keys) -> tuple[int, int]:
+    """(key, count) with max count; ties -> the key that REACHES the max
+    count first (i.e. whose M-th occurrence comes earliest in input order).
 
     Stands in for Nim CountTable.largest (see module docstring for the
-    tie-break divergence).
+    tie-break divergence). Vectorized but semantics-identical to the running
+    dict scan: winner = argmin over max-count keys of the index of their
+    M-th occurrence.
     """
-    counts: dict[int, int] = {}
-    best_key, best_val = None, -1
-    for k in keys:
-        c = counts.get(k, 0) + 1
-        counts[k] = c
-        if c > best_val:
-            best_key, best_val = k, c
-    return best_key, best_val
+    arr = np.asarray(keys)
+    if arr.size == 0:
+        return None, -1
+    order = np.argsort(arr, kind="stable")  # keys grouped, input order kept
+    uniq, starts, counts = np.unique(
+        arr[order], return_index=True, return_counts=True
+    )
+    best = int(counts.max())
+    cand = np.flatnonzero(counts == best)
+    reach = order[starts[cand] + best - 1]  # index of each M-th occurrence
+    k = cand[np.argmin(reach)]
+    return int(uniq[k]), best
 
 
 def bounds(cl: Cluster, max_clip_dist: int = 200) -> Bounds:
@@ -142,11 +149,11 @@ def bounds(cl: Cluster, max_clip_dist: int = 200) -> Bounds:
     b.n_total = len(reads)
 
     if b.n_left > 0:
-        key, val = _largest(posns[left_gate].tolist())
+        key, val = _largest(posns[left_gate])
         if val > 1:
             b.left = key
     if b.n_right > 0:
-        key, val = _largest(posns[right_gate].tolist())
+        key, val = _largest(posns[right_gate])
         if val > 1:
             b.right = key
 
@@ -199,10 +206,10 @@ def split_cluster(c: Cluster, min_supporting_reads: int) -> Iterator[Cluster]:
         yield c
         return
 
-    rl_key, rl_val = _largest(right_pos.tolist())
-    ll_key, ll_val = _largest(left_pos.tolist())
-    n_left_distinct = len(set(left_pos.tolist()))
-    n_right_distinct = len(set(right_pos.tolist()))
+    rl_key, rl_val = _largest(right_pos)
+    ll_key, ll_val = _largest(left_pos)
+    n_left_distinct = len(np.unique(left_pos))
+    n_right_distinct = len(np.unique(right_pos))
     if (
         rl_key < ll_key
         and rl_val >= min_supporting_reads
@@ -247,10 +254,10 @@ def _trim(reads: np.ndarray, max_dist: int, qnames: list | None):
     if len(reads) == 0:
         return reads, qnames
     lo = max(0, _posmed(reads["position"]) - max_dist)
-    i = 0
     n = len(reads)
-    while n - i > 1 and reads["position"][i] < lo:
-        i += 1
+    # first index with position >= lo, capped at n-1 (the reference's
+    # while-loop never drops the final read)
+    i = min(int(np.searchsorted(reads["position"], lo, side="left")), n - 1)
     if i:
         reads = reads[i:]
         if qnames is not None:
@@ -275,12 +282,23 @@ def trcluster(
         b = i + 1
         i += 1
         ended_by_gap = False
-        for j in range(b, n):
+        j = b
+        while j < n:
             # grow while close enough to the running median of the first <=9
             # reads (cluster.nim:336: fragment distance + 100 for event len)
-            if posns[j] <= _posmed(posns[a:b]) + max_dist + 100:
+            thr = _posmed(posns[a:b]) + max_dist + 100
+            if posns[j] <= thr:
                 b = j + 1
                 i = j + 1
+                if b - a >= MEDIANI:
+                    # the median window is frozen at the first 9 reads, so
+                    # the remaining growth is one sorted-array jump
+                    b = int(np.searchsorted(posns, thr, side="right", sorter=None))
+                    b = max(b, j + 1)
+                    i = b
+                    j = b
+                else:
+                    j += 1
                 continue
             # finalize cluster at gap
             ended_by_gap = True

@@ -20,13 +20,10 @@ from strling_tpu.utils.options import Options
 def has_per_sample_reads(c: Cluster, supporting_reads: int) -> bool:
     """merge.nim:18-25: >= supporting_reads from at least one sample (sample
     id carried in the qname slot)."""
-    counts: dict = {}
-    best = 0
-    for q in c.qnames:
-        v = counts.get(q, 0) + 1
-        counts[q] = v
-        best = max(best, v)
-    return best >= supporting_reads
+    if len(c.qnames) == 0:
+        return False
+    _, counts = np.unique(np.asarray(c.qnames, dtype=object), return_counts=True)
+    return int(counts.max()) >= supporting_reads
 
 
 def fill_targets(fasta: str) -> list[Target]:

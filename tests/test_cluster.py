@@ -210,3 +210,17 @@ def test_unplaced_cluster_single():
     reads = mk([(-1, "AAG", 0, Soft.none)] * 7)
     out = list(cluster(reads, 500, 5))
     assert len(out) == 1 and len(out[0].reads) == 7
+
+
+def test_largest_tie_goes_to_first_reaching_max():
+    """Vectorized _largest must match the running-scan semantics: on a count
+    tie the winner is the key whose M-th occurrence comes first (B in
+    A B B A B A), not the key seen first."""
+    from strling_tpu.core.cluster import _largest
+
+    key, val = _largest([10, 20, 20, 10, 20, 10])
+    assert (key, val) == (20, 3)
+    key, val = _largest([7])
+    assert (key, val) == (7, 1)
+    key, val = _largest([5, 5, 9, 9])  # 5 reaches 2 first
+    assert (key, val) == (5, 2)
