@@ -28,6 +28,7 @@ def _extract(argv):
     p.add_argument("-p", "--proportion-repeat", type=float, default=0.8, help="proportion of read that is repetitive to be considered as STR")
     p.add_argument("-q", "--min-mapq", type=int, default=40, help="minimum mapping quality (does not apply to STR reads)")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--profile", default="", help="write a jax.profiler trace of the scan to this directory")
     p.add_argument("bam", help="path to bam file")
     p.add_argument("bin", help="path to output bin file to be created")
     args = p.parse_args(argv)
@@ -36,12 +37,15 @@ def _extract(argv):
     from strling_tpu.io.bam import Bam
     from strling_tpu.io.binfmt import write_bin
 
+    from strling_tpu.utils.profiling import maybe_trace
+
     bam = Bam(args.bam, fasta=args.fasta or None)
-    treads, frag_dist, opts = extract_native(
-        bam, args.fasta or None, args.genome_repeats or None,
-        proportion_repeat=args.proportion_repeat, min_mapq=args.min_mapq,
-        verbose=args.verbose,
-    )
+    with maybe_trace(args.profile or None, "extract"):
+        treads, frag_dist, opts = extract_native(
+            bam, args.fasta or None, args.genome_repeats or None,
+            proportion_repeat=args.proportion_repeat, min_mapq=args.min_mapq,
+            verbose=args.verbose,
+        )
     print(f"[strling] writing binary file:{args.bin}", file=sys.stderr)
     write_bin(args.bin, treads, frag_dist, bam.header_text,
               args.proportion_repeat, args.min_mapq)

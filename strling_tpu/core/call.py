@@ -215,6 +215,7 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
 def call_main(argv):
     p = argparse.ArgumentParser("strling call")
     p.add_argument("-f", "--fasta", default="", help="path to fasta file")
+    p.add_argument("--profile", default="", help="write a jax.profiler trace to this directory")
     p.add_argument("-m", "--min-support", type=int, default=5)
     p.add_argument("-c", "--min-clip", type=int, default=0)
     p.add_argument("-t", "--min-clip-total", type=int, default=0)
@@ -228,6 +229,13 @@ def call_main(argv):
     p.add_argument("bam")
     p.add_argument("bin")
     a = p.parse_args(argv)
+    from strling_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(a.profile or None, "call"):
+        _run_call_cli(a)
+
+
+def _run_call_cli(a):
     run_call(a.bam, a.bin, a.fasta or None, a.min_support, a.min_clip,
              a.min_clip_total, a.min_mapq, a.loci or None, a.bounds or None,
              a.output_prefix, a.verbose, a.debug)

@@ -141,3 +141,21 @@ def test_huber_estimator_sane():
     # constant vector -> MAD fallback, sd NaN
     est = hubers_est(np.ones(10))
     assert est["mu"] == 1.0 and np.isnan(est["sd"])
+
+
+def test_profile_trace_hook(tmp_path):
+    """--profile captures a jax.profiler trace directory."""
+    import os
+
+    from strling_tpu.utils.profiling import maybe_trace
+
+    import jax
+    import jax.numpy as jnp
+
+    d = str(tmp_path / "trace")
+    with maybe_trace(d, "unit"):
+        jnp.sum(jnp.arange(128.0)).block_until_ready()
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "no trace files written"
