@@ -222,7 +222,7 @@ static bool rans_decode(const uint8_t* in, size_t in_sz,
   uint32_t csz = b.u32le();
   uint32_t usz = b.u32le();
   (void)csz;
-  if (b.fail) return false;
+  if (b.fail || usz > (1u << 28)) return false;
   out->resize(usz);
   if (usz == 0) return true;
   if (order == 0) return rans_decode_o0(b, out->data(), usz);
@@ -296,7 +296,8 @@ static bool read_block(Buf& b, Block* blk, std::string* err) {
   blk->content_id = b.itf8();
   int32_t csize = b.itf8();
   int32_t usize = b.itf8();
-  if (b.fail || csize < 0 || usize < 0 || b.left() < (size_t)csize) {
+  if (b.fail || csize < 0 || usize < 0 || usize > (1 << 28) ||
+      b.left() < (size_t)csize) {
     *err = "truncated CRAM block";
     return false;
   }
@@ -431,7 +432,10 @@ bool Encoding::parse(Buf& b, std::string* err) {
       for (int i = 0; i < n; i++) syms[i] = pb.itf8();
       int32_t nl = pb.itf8();
       if (nl != n) { *err = "huffman len mismatch"; return false; }
-      for (int i = 0; i < n; i++) lens[i] = pb.itf8();
+      for (int i = 0; i < n; i++) {
+        lens[i] = pb.itf8();
+        if (lens[i] < 0 || lens[i] > 56) { *err = "bad huffman code length"; return false; }
+      }
       // canonical order: (len, symbol) ascending
       std::vector<int> order(n);
       for (int i = 0; i < n; i++) order[i] = i;
@@ -549,7 +553,7 @@ bool Encoding::dec_bytes(Ctx& c, std::vector<uint8_t>* out) const {
     }
     case 4: {  // BYTE_ARRAY_LEN
       int64_t n = len_enc->dec_int(c);
-      if (c.fail || n < 0 || n > (1 << 28)) { c.fail = true; return false; }
+      if (c.fail || n < 0 || n > (1 << 20)) { c.fail = true; return false; }
       if (val_enc->codec == 1) {  // fast path: raw slab from external
         Stream* s = c.get(val_enc->content_id);
         if (!s || s->e - s->p < n) { c.fail = true; return false; }
@@ -767,6 +771,7 @@ struct SliceHdr {
 static bool parse_cont_hdr(Buf& b, ContHdr* h) {
   const uint8_t* start = b.p;
   h->length = (int32_t)b.u32le();
+  if (h->length < 0) return false;
   h->ref_id = b.itf8();
   h->start = b.itf8();
   h->span = b.itf8();
@@ -1113,6 +1118,10 @@ struct CramReader : Reader {
           e.seq == -2;  // multiref slices must be decoded and filtered
       if (!candidate) continue;
       if (!load_crai_container(e.coff)) return -1;
+      if (e.soff < 0 || (size_t)e.soff >= cached_payload.size()) {
+        err = "bad slice offset in .crai";
+        return -1;
+      }
       Buf b(cached_payload.data() + e.soff,
             cached_payload.size() - (size_t)e.soff);
       if (!decode_slice_at(&b, cached_ch)) return -1;
@@ -1230,6 +1239,7 @@ struct CramReader : Reader {
         tid = (int32_t)eRI->dec_int(c);
       }
       int64_t rl = eRL->dec_int(c);
+      if (rl < 0 || rl > (1 << 20)) { err = "bad CRAM read length"; return false; }
       int64_t ap;
       if (cmp.ap_delta) {
         ap = last_ap + eAP->dec_int(c);
@@ -1318,12 +1328,14 @@ struct CramReader : Reader {
             r.cigar.push_back((uint32_t)((len << 4) | op));
         };
         int64_t fn = eFN ? eFN->dec_int(c) : 0;
+        if (fn < 0 || fn > 4 * rl + 64) { err = "bad CRAM feature count"; return false; }
         int64_t rpos = ap;  // 1-based reference cursor
         int64_t qpos = 1;   // 1-based read cursor
         int64_t prev_fp = 0;
         for (int64_t f = 0; f < fn && !c.fail; f++) {
           int fc = eFC ? eFC->dec_byte(c) : 0;
           int64_t fp_ = prev_fp + (eFP ? eFP->dec_int(c) : 0);
+          if (fp_ < 0 || fp_ > rl + 1) { err = "bad CRAM feature position"; return false; }
           prev_fp = fp_;
           int64_t gap = fp_ - qpos;
           if (gap > 0) {
@@ -1412,6 +1424,7 @@ struct CramReader : Reader {
               return false;
           }
         }
+        if (qpos > rl + 1) { err = "CRAM features overrun read length"; return false; }
         int64_t tail = rl - (qpos - 1);
         if (tail > 0) {
           for (int64_t g = 0; g < tail; g++) seqbuf.push_back(refbase(rpos + g));

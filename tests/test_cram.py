@@ -262,3 +262,51 @@ def test_extract_cram_equals_bam(paths):
     assert len(tb.data) == len(tc.data) > 0
     assert np.array_equal(tb.data, tc.data)
     assert tb.qnames == tc.qnames
+
+
+FUZZ_READER = """
+import sys
+sys.path.insert(0, {repo!r})
+from strling_tpu.io.bam import Bam
+try:
+    b = Bam(sys.argv[1], fasta=sys.argv[2] if len(sys.argv) > 2 else None)
+    n = sum(len(x) for x in b.batches())
+    sys.exit(0)
+except (OSError, IOError):
+    sys.exit(3)
+"""
+
+
+def test_malformed_cram_fails_cleanly(paths, tmp_path):
+    """Truncated / bit-flipped CRAMs must raise, never crash the process."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    p = str(paths["dir"] / "fuzz.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"][:40], fasta=paths["fa"],
+               slice_size=16)
+    blob = bytearray(open(p, "rb").read())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "rd.py"
+    script.write_text(FUZZ_READER.format(repo=repo))
+    rng = random.Random(9)
+    cases = []
+    for frac in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+        cases.append(bytes(blob[: int(len(blob) * frac)]))  # truncations
+    for _ in range(12):  # bit flips across the container region
+        m = bytearray(blob)
+        for _ in range(rng.randrange(1, 8)):
+            i = rng.randrange(30, len(m))
+            m[i] ^= 1 << rng.randrange(8)
+        cases.append(bytes(m))
+    for i, data in enumerate(cases):
+        fp = tmp_path / f"m{i}.cram"
+        fp.write_bytes(data)
+        r = subprocess.run(
+            [_sys.executable, str(script), str(fp), paths["fa"]],
+            capture_output=True, timeout=60,
+        )
+        assert r.returncode in (0, 3), (
+            f"case {i}: rc={r.returncode} (crash?)\n{r.stderr.decode()[-500:]}"
+        )
