@@ -134,29 +134,34 @@ class NativeExtractor:
                 np.ascontiguousarray(cnt, np.int32), len(code),
             )
 
-    def run(self, dispatch_fn) -> TreadBatch:
+    def run(self, dispatch_fn, depth: int = 4) -> TreadBatch:
         """Pipelined loop: dispatch_fn(bases [R, L], lengths, props) returns a
-        zero-arg fetch closure (the async device dispatch). While the device
-        scans batch i, the engine reads+packs batch i+1; feeds are FIFO.
-        """
+        zero-arg fetch closure (the async device dispatch). Up to `depth`
+        batches stay in flight, so the device scans batches i..i+depth-1
+        while the engine reads+packs the next and the result fetch round-trip
+        of batch i overlaps device compute (feeds are FIFO; the C++ engine
+        queues pending batches in order)."""
+        from collections import deque
+
         lib = _lib()
-        inflight = None  # fetch closure for the oldest queued batch, or
-        # "empty" sentinel for a fast-path-only batch
-        EMPTY = "empty"
+        EMPTY = "empty"  # sentinel for fast-path-only batches (no scan rows)
+        inflight: deque = deque()
         while True:
             rows, n_records, bases, lengths, props = self._next()
-            if inflight is not None:
-                self._feed(None if inflight is EMPTY else inflight())
-                inflight = None
             if n_records > 0:
                 if rows > 0:
-                    inflight = dispatch_fn(bases[:rows], lengths[:rows], props[:rows])
+                    inflight.append(
+                        dispatch_fn(bases[:rows], lengths[:rows], props[:rows])
+                    )
                 else:
-                    inflight = EMPTY
-            elif lib.sio_ex_done(self._e):
+                    inflight.append(EMPTY)
+            done = n_records == 0 and bool(lib.sio_ex_done(self._e))
+            limit = 0 if done else max(0, depth - 1)
+            while len(inflight) > limit:
+                f = inflight.popleft()
+                self._feed(None if f is EMPTY else f())
+            if done:
                 break
-        if inflight is not None:
-            self._feed(None if inflight is EMPTY else inflight())
         return self.treads()
 
     @property
