@@ -15,8 +15,12 @@ def lib_path() -> str:
     srcs = sorted(
         os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR) if f.endswith(".cc")
     )
+    # hash headers too: a .h-only change must trigger a rebuild
+    hdrs = sorted(
+        os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR) if f.endswith(".h")
+    )
     h = hashlib.sha256()
-    for s in srcs:
+    for s in srcs + hdrs:
         with open(s, "rb") as fh:
             h.update(fh.read())
     tag = h.hexdigest()[:16]
@@ -25,7 +29,7 @@ def lib_path() -> str:
         return out
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
         *srcs, "-o", out + ".tmp", "-ldeflate", "-lz",
     ]
     subprocess.run(cmd, check=True)

@@ -17,7 +17,12 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <condition_variable>
+#include <map>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -28,6 +33,183 @@ namespace sio {
 // ---------------------------------------------------------------- BGZF reader
 
 constexpr int BGZF_MAX_BLOCK = 1 << 16;
+
+// ------------------------------------------------- multithreaded BGZF decode
+//
+// BGZF blocks are independent deflate members, so sequential whole-file scans
+// (extract's dominant access pattern; the frag-hist pre-pass) can inflate
+// blocks on a worker pool ahead of the consumer — the htslib bgzf_mt
+// equivalent. Random access (BAI chunk hops) bypasses this and stays on the
+// synchronous path.
+
+struct MtBlock {
+  int64_t addr = -1;
+  int64_t next_addr = 0;
+  int ulen = 0;
+  bool eof = false;
+  std::string err;
+  std::unique_ptr<uint8_t[]> data;  // BGZF_MAX_BLOCK when !eof
+};
+
+struct BgzfMT {
+  FILE* fp = nullptr;  // private stream (independent of the sync reader's)
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_done, cv_space;
+  int64_t read_addr = 0;
+  bool reader_eof = false;
+  bool stopping = false;
+  std::map<int64_t, MtBlock> done;
+  int inflight = 0;
+  size_t max_ahead = 64;  // blocks (64 x 64KB = 4MB window)
+
+  ~BgzfMT() { stop(); }
+
+  bool start(const char* path, int64_t start_addr, int threads) {
+    fp = fopen(path, "rb");
+    if (!fp) return false;
+    read_addr = start_addr;
+    fseeko(fp, start_addr, SEEK_SET);
+    for (int i = 0; i < threads; i++)
+      workers.emplace_back([this] { worker(); });
+    return true;
+  }
+
+  void stop() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stopping = true;
+    }
+    cv_space.notify_all();
+    cv_done.notify_all();
+    for (auto& w : workers) w.join();
+    workers.clear();
+    if (fp) {
+      fclose(fp);
+      fp = nullptr;
+    }
+  }
+
+  // read the compressed payload of one block at the current file position
+  // (caller holds mu). Returns false on EOF or error.
+  bool read_raw(int64_t addr, std::vector<uint8_t>* cdata, int* bsize,
+                std::string* err, bool* at_eof) {
+    uint8_t hdr[12];
+    size_t n = fread(hdr, 1, 12, fp);
+    if (n == 0) { *at_eof = true; return false; }
+    if (n < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+      *err = "bad BGZF block header";
+      return false;
+    }
+    int xlen = hdr[10] | (hdr[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    if (xlen && fread(extra.data(), 1, xlen, fp) != (size_t)xlen) {
+      *err = "truncated BGZF extra";
+      return false;
+    }
+    int bs = -1;
+    for (int i = 0; i + 4 <= xlen;) {
+      int slen = extra[i + 2] | (extra[i + 3] << 8);
+      if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2) {
+        bs = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+        break;
+      }
+      i += 4 + slen;
+    }
+    if (bs < 0) { *err = "no BSIZE in BGZF block"; return false; }
+    int cdata_len = bs - 12 - xlen - 8;
+    if (cdata_len < 0) { *err = "bad BSIZE"; return false; }
+    cdata->resize(cdata_len + 8);
+    if (fread(cdata->data(), 1, cdata_len + 8, fp) != (size_t)(cdata_len + 8)) {
+      *err = "truncated BGZF block";
+      return false;
+    }
+    *bsize = bs;
+    (void)addr;
+    return true;
+  }
+
+  void worker() {
+    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    for (;;) {
+      int64_t addr;
+      std::vector<uint8_t> cdata;
+      int bsize = 0;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return stopping ||
+                 (!reader_eof && done.size() + (size_t)inflight < max_ahead);
+        });
+        if (stopping) break;
+        addr = read_addr;
+        std::string lerr;
+        bool at_eof = false;
+        if (!read_raw(addr, &cdata, &bsize, &lerr, &at_eof)) {
+          MtBlock b;
+          b.addr = addr;
+          b.eof = at_eof;
+          b.err = lerr;
+          reader_eof = true;
+          done[addr] = std::move(b);
+          cv_done.notify_all();
+          continue;
+        }
+        read_addr = addr + bsize;
+        inflight++;
+      }
+      MtBlock b;
+      b.addr = addr;
+      b.next_addr = addr + bsize;
+      b.data.reset(new uint8_t[BGZF_MAX_BLOCK]);
+      uint32_t isize;
+      memcpy(&isize, cdata.data() + cdata.size() - 4, 4);
+      size_t actual = 0;
+      if (isize > 0) {
+        auto r = libdeflate_deflate_decompress(dec, cdata.data(),
+                                               cdata.size() - 8, b.data.get(),
+                                               BGZF_MAX_BLOCK, &actual);
+        if (r != LIBDEFLATE_SUCCESS) b.err = "inflate failed";
+      }
+      if (b.err.empty() && actual != isize) b.err = "BGZF ISIZE mismatch";
+      b.ulen = (int)isize;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        inflight--;
+        done[addr] = std::move(b);
+      }
+      cv_done.notify_all();
+    }
+    libdeflate_free_decompressor(dec);
+  }
+
+  // blocking fetch of the block at `addr` (must lie on the sequential chain
+  // from start_addr). Returns false only on decode error.
+  bool get(int64_t addr, MtBlock* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      auto it = done.find(addr);
+      if (it != done.end()) {
+        *out = std::move(it->second);
+        done.erase(it);
+        // drop anything stale before addr (can't happen in-order, but safe)
+        while (!done.empty() && done.begin()->first < addr)
+          done.erase(done.begin());
+        cv_space.notify_all();
+        return out->err.empty();
+      }
+      if (reader_eof && inflight == 0 &&
+          (done.empty() || done.begin()->first > addr)) {
+        // addr is past the physical end
+        out->addr = addr;
+        out->eof = true;
+        out->err.clear();
+        return true;
+      }
+      cv_done.wait(lk);
+    }
+  }
+};
 
 struct BgzfReader {
   FILE* fp = nullptr;
@@ -40,21 +222,68 @@ struct BgzfReader {
   int64_t next_addr = 0;   // compressed offset of next block
   bool eof = false;
   std::string err;
+  std::string path_;
+  BgzfMT* mt = nullptr;
 
   ~BgzfReader() {
+    delete mt;
     if (fp) fclose(fp);
     if (dec) libdeflate_free_decompressor(dec);
   }
 
   bool open(const char* path) {
+    path_ = path;
     fp = fopen(path, "rb");
     if (!fp) { err = "cannot open file"; return false; }
     dec = libdeflate_alloc_decompressor();
     return load_block(0);
   }
 
+  void disable_mt() {
+    delete mt;
+    mt = nullptr;
+  }
+
+  // start worker-pool block prefetch from the current stream position; used
+  // by sequential whole-file scans. Any out-of-chain seek falls back to the
+  // synchronous path automatically.
+  void enable_mt(int threads) {
+    disable_mt();
+    if (threads <= 0) return;
+    BgzfMT* m = new BgzfMT();
+    if (!m->start(path_.c_str(), next_addr, threads)) {
+      delete m;
+      return;
+    }
+    mt = m;
+  }
+
   // load the BGZF block at compressed offset `addr`
   bool load_block(int64_t addr) {
+    if (mt) {
+      if (addr != next_addr) {
+        disable_mt();  // random access: back to the synchronous reader
+      } else {
+        MtBlock b;
+        if (!mt->get(addr, &b)) { err = b.err; return false; }
+        block_addr = addr;
+        upos = 0;
+        if (b.eof) {
+          eof = true;
+          ulen = 0;
+          return true;
+        }
+        ulen = b.ulen;
+        next_addr = b.next_addr;
+        if (ulen == 0) return load_block(next_addr);  // empty/EOF-marker block
+        memcpy(ubuf, b.data.get(), ulen);
+        return true;
+      }
+    }
+    return load_block_sync(addr);
+  }
+
+  bool load_block_sync(int64_t addr) {
     if (fseeko(fp, addr, SEEK_SET) != 0) { err = "seek failed"; return false; }
     uint8_t hdr[18];
     size_t n = fread(hdr, 1, 18, fp);
@@ -284,13 +513,17 @@ struct BamFile {
     return true;
   }
 
+  std::vector<uint8_t> recbuf;  // per-record scratch (reused across calls)
+
   // read one record; returns 1 ok, 0 eof, -1 error
   int next(BamRec* r) {
     int32_t block_size;
     int64_t n = bgzf.read((uint8_t*)&block_size, 4);
     if (n == 0) return 0;
     if (n != 4) { err = "truncated record size"; return -1; }
-    std::vector<uint8_t> buf(block_size);
+    if (block_size < 32) { err = "bad record size"; return -1; }
+    std::vector<uint8_t>& buf = recbuf;
+    if ((int64_t)buf.size() < block_size) buf.resize(block_size);
     if (bgzf.read(buf.data(), block_size) != block_size) {
       err = "truncated record"; return -1;
     }
@@ -344,17 +577,26 @@ struct BamIter {
   bool done = false;
   std::string err;
 
+  static int bgzf_threads() {
+    const char* s = getenv("STRLING_BGZF_THREADS");
+    return s ? atoi(s) : 4;
+  }
+
   bool prime() {
     primed = true;
     if (mode == 0) {
-      return bam->bgzf.seek_virtual(bam->first_rec_voff);
+      if (!bam->bgzf.seek_virtual(bam->first_rec_voff)) return false;
+      bam->bgzf.enable_mt(bgzf_threads());  // sequential whole-file scan
+      return true;
     }
     if (mode == 2) {
       // no-coor block: records sort last; start at the max indexed chunk end
       int64_t start = bam->bai.loaded && bam->bai.max_chunk_end
                           ? (int64_t)bam->bai.max_chunk_end
                           : bam->first_rec_voff;
-      return bam->bgzf.seek_virtual(start);
+      if (!bam->bgzf.seek_virtual(start)) return false;
+      bam->bgzf.enable_mt(bgzf_threads());  // sequential scan to EOF
+      return true;
     }
     // region query via BAI
     if (!bam->bai.loaded) { err = "no .bai index"; return false; }
