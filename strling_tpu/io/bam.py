@@ -199,17 +199,21 @@ class Bam:
                 qname_off=qname_off[: n + 1].copy(),
             )
 
+    def _begin(self, mode: int, tid: int, beg: int, end: int):
+        if self._lib.sio_begin(self._h, mode, tid, beg, end) != 0:
+            raise IOError(self._lib.sio_error(self._h).decode())
+
     def batches(self):
         """Stream all records (including any trailing no-coor block)."""
-        self._lib.sio_begin(self._h, 0, -1, 0, 0)
+        self._begin(0, -1, 0, 0)
         yield from self._batches()
 
     def query(self, tid: int, beg: int, end: int):
-        """Records overlapping [beg, end) on tid, via the BAI index."""
-        self._lib.sio_begin(self._h, 1, tid, beg, end)
+        """Records overlapping [beg, end) on tid, via the BAI/CRAI index."""
+        self._begin(1, tid, beg, end)
         yield from self._batches()
 
     def query_unmapped(self):
         """The no-coor block — htslib's query("*") (extract.nim:326)."""
-        self._lib.sio_begin(self._h, 2, -1, 0, 0)
+        self._begin(2, -1, 0, 0)
         yield from self._batches()

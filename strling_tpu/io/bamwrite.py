@@ -203,3 +203,25 @@ def write_bam(path: str, header_text: str, targets: list[tuple[str, int]],
             else:
                 f.write(struct.pack("<i", 0))
         f.write(struct.pack("<Q", n_no_coor))
+
+
+def write_sam(path: str, header_text: str, targets: list[tuple[str, int]],
+              records: list[BamRecord]):
+    """Write records as plain-text SAM (the native reader auto-detects it)."""
+    with open(path, "w") as f:
+        f.write(header_text)
+        if header_text and not header_text.endswith("\n"):
+            f.write("\n")
+        for r in records:
+            rname = targets[r.tid][0] if r.tid >= 0 else "*"
+            if r.mate_tid < 0:
+                rnext = "*"
+            elif r.mate_tid == r.tid:
+                rnext = "="
+            else:
+                rnext = targets[r.mate_tid][0]
+            cig = "".join(f"{n}{CIGAR_OPS[op]}" for n, op in r.cigar) or "*"
+            f.write(
+                f"{r.qname}\t{r.flag}\t{rname}\t{r.pos + 1}\t{r.mapq}\t{cig}"
+                f"\t{rnext}\t{r.mate_pos + 1}\t{r.isize}\t{r.seq or '*'}\t*\n"
+            )

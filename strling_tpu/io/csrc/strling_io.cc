@@ -4,14 +4,26 @@ using namespace sio;
 
 namespace {
 
-// detect container format by magic: raw "CRAM" vs BGZF(gzip)-wrapped BAM
-bool is_cram(const char* path) {
+// detect container format by magic: raw "CRAM", plain-text SAM ('@' header
+// or a tab-separated record line), else BGZF(gzip)-wrapped BAM
+enum Fmt { FMT_BAM, FMT_CRAM, FMT_SAM };
+
+Fmt sniff(const char* path) {
   FILE* f = fopen(path, "rb");
-  if (!f) return false;
-  char magic[4] = {0, 0, 0, 0};
-  size_t n = fread(magic, 1, 4, f);
+  if (!f) return FMT_BAM;
+  unsigned char buf[256] = {0};
+  size_t n = fread(buf, 1, sizeof buf, f);
   fclose(f);
-  return n == 4 && memcmp(magic, "CRAM", 4) == 0;
+  if (n >= 4 && memcmp(buf, "CRAM", 4) == 0) return FMT_CRAM;
+  if (n >= 2 && buf[0] == 0x1f && buf[1] == 0x8b) return FMT_BAM;
+  if (n > 0 && buf[0] == '@') return FMT_SAM;
+  // headerless SAM: a text line with tabs
+  size_t tabs = 0;
+  for (size_t i = 0; i < n && buf[i] != '\n'; i++) {
+    if (buf[i] == '\t') tabs++;
+    if (buf[i] == 0) return FMT_BAM;  // binary
+  }
+  return tabs >= 10 ? FMT_SAM : FMT_BAM;
 }
 
 }  // namespace
@@ -20,8 +32,11 @@ extern "C" {
 
 void* sio_open(const char* path) {
   Handle* h = new Handle();
-  if (is_cram(path)) {
+  Fmt fmt = sniff(path);
+  if (fmt == FMT_CRAM) {
     h->rd = open_cram(path);
+  } else if (fmt == FMT_SAM) {
+    h->rd = open_sam(path);
   } else {
     BamReader* br = new BamReader();
     if (!br->open(path)) {

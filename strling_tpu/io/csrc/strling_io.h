@@ -710,8 +710,9 @@ struct BamReader : Reader {
   }
 };
 
-// implemented in cram.cc
+// implemented in cram.cc / samtext.cc
 Reader* open_cram(const char* path);
+Reader* open_sam(const char* path);
 
 struct Handle {
   Reader* rd = nullptr;
