@@ -105,6 +105,9 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
                 0, W, modal_body,
                 (jnp.zeros((W, TB), jnp.int32), jnp.full((W, TB), -1, jnp.int32)),
             )
+            # (int16 packing attempted: "Target does not support this
+            # comparison" — 16-bit vector compares don't lower on this TPU,
+            # like the u8 case above)
             M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)
             # lastmax == widx marks the last occurrence of each code
             cand = validw & (total == M) & (lastmax == widx) & (M > 0)
