@@ -17,8 +17,11 @@
 #include "strling_io.h"
 
 #include <array>
+#include <condition_variable>
 #include <map>
 #include <memory>
+#include <mutex>
+#include <thread>
 
 namespace {
 
@@ -660,6 +663,7 @@ struct FastaRef {
   std::string path;
   std::map<std::string, Ent> idx;
   std::map<std::string, std::string> cache;
+  std::mutex cache_mu;  // fetch() is called from decode workers
   bool ok = false;
 
   bool open(const char* p) {
@@ -723,6 +727,7 @@ struct FastaRef {
   }
 
   const std::string* fetch(const std::string& name) {
+    std::lock_guard<std::mutex> lk(cache_mu);
     auto c = cache.find(name);
     if (c != cache.end()) return &c->second;
     auto it = idx.find(name);
@@ -749,6 +754,10 @@ struct FastaRef {
 };
 
 // --------------------------------------------------------------- containers
+
+struct ContHdr; static bool read_cont_hdr_fp(FILE* fp, int64_t off,
+                                             struct ContHdr* ch,
+                                             std::string* err);
 
 struct ContHdr {
   int64_t length = 0;  // payload bytes
@@ -787,6 +796,25 @@ static bool parse_cont_hdr(Buf& b, ContHdr* h) {
   if (b.fail) return false;
   h->header_size = b.p - start;
   return true;
+}
+
+static bool read_cont_hdr_fp(FILE* fp, int64_t off, ContHdr* ch,
+                             std::string* err) {
+  for (size_t cap = 1 << 10;; cap <<= 4) {
+    if (fseeko(fp, off, SEEK_SET) != 0) { *err = "seek failed"; return false; }
+    std::vector<uint8_t> buf(cap);
+    size_t got = fread(buf.data(), 1, cap, fp);
+    if (got == 0) return false;  // physical EOF (err left empty)
+    Buf b(buf.data(), got);
+    if (parse_cont_hdr(b, ch)) {
+      fseeko(fp, off + ch->header_size, SEEK_SET);
+      return true;
+    }
+    if (got < cap || cap > (1u << 24)) {
+      *err = "bad CRAM container header";
+      return false;
+    }
+  }
 }
 
 static bool parse_slice_hdr(const std::vector<uint8_t>& data, SliceHdr* sh) {
@@ -851,7 +879,15 @@ static uint8_t nt16(char c) {
 
 // ------------------------------------------------------------- CRAM reader
 
+struct CramMT;
+
 struct CramReader : Reader {
+  CramMT* cmt = nullptr;  // parallel container decode for sequential scans
+  int64_t mt_next_off = 0;
+  void start_mt(int64_t off, int threads);
+  void stop_mt();
+  int load_next_container_mt();
+
   FILE* fp = nullptr;
   std::string path_;
   std::string hdr_text;
@@ -884,9 +920,7 @@ struct CramReader : Reader {
   CompHdr cached_ch;
   bool cached_ok = false;
 
-  ~CramReader() override {
-    if (fp) fclose(fp);
-  }
+  ~CramReader() override;
 
   const std::string& header_text() override { return hdr_text; }
   const std::vector<std::string>& ref_names() override { return names; }
@@ -1018,21 +1052,7 @@ struct CramReader : Reader {
   }
 
   bool read_cont_hdr(int64_t off, ContHdr* ch) {
-    for (size_t cap = 1 << 10;; cap <<= 4) {
-      if (fseeko(fp, off, SEEK_SET) != 0) { err = "seek failed"; return false; }
-      std::vector<uint8_t> buf(cap);
-      size_t got = fread(buf.data(), 1, cap, fp);
-      if (got == 0) return false;  // physical EOF
-      Buf b(buf.data(), got);
-      if (parse_cont_hdr(b, ch)) {
-        fseeko(fp, off + ch->header_size, SEEK_SET);
-        return true;
-      }
-      if (got < cap || cap > (1u << 24)) {
-        err = "bad CRAM container header";
-        return false;
-      }
-    }
+    return read_cont_hdr_fp(fp, off, ch, &err);
   }
 
   bool begin(int m, int tid, int64_t beg, int64_t end) override {
@@ -1045,10 +1065,18 @@ struct CramReader : Reader {
     iter_done = false;
     next_off = data_start;
     crai_idx = 0;
-    if (mode == 1 && !crai_loaded) {
-      err = "no .crai index";
-      return false;
+    stop_mt();
+    if (mode == 1) {
+      if (!crai_loaded) {
+        err = "no .crai index";
+        return false;
+      }
+      return true;
     }
+    const char* t = getenv("STRLING_CRAM_THREADS");
+    int hw = (int)std::thread::hardware_concurrency();
+    int threads = t ? atoi(t) : std::max(1, std::min(8, hw));
+    if (threads > 0) start_mt(data_start, threads);
     return true;
   }
 
@@ -1067,6 +1095,7 @@ struct CramReader : Reader {
 
   // returns 1 if records were (possibly) appended, 0 at EOF, -1 error
   int load_next_container() {
+    if (cmt) return load_next_container_mt();
     recq.clear();
     reci = 0;
     ContHdr ch;
@@ -1080,28 +1109,7 @@ struct CramReader : Reader {
       err = "truncated container";
       return -1;
     }
-    CompHdr cmp;
-    Buf b(payload.data(), payload.size());
-    Block blk;
-    if (!read_block(b, &blk, &err)) return -1;
-    if (blk.ctype != BT_COMP_HEADER) {
-      err = "expected compression header block";
-      return -1;
-    }
-    if (!parse_comp_hdr(blk.data, &cmp, &err)) return -1;
-    while (b.p < b.e) {
-      if (!decode_slice_at(&b, cmp)) return -1;
-    }
-    if (mode == 2) {
-      // keep only no-coor records (BamIter mode 2 semantics)
-      size_t w = 0;
-      for (size_t i = 0; i < recq.size(); i++) {
-        if (recq[i].tid >= 0) continue;
-        if (w != i) recq[w] = std::move(recq[i]);
-        w++;
-      }
-      recq.resize(w);
-    }
+    if (!decode_container_payload(payload, mode == 2, &recq, &err)) return -1;
     return 1;
   }
 
@@ -1124,7 +1132,7 @@ struct CramReader : Reader {
       }
       Buf b(cached_payload.data() + e.soff,
             cached_payload.size() - (size_t)e.soff);
-      if (!decode_slice_at(&b, cached_ch)) return -1;
+      if (!decode_slice_at(&b, cached_ch, &recq, &err)) return -1;
       // overlap filter (htslib iterator semantics: endpos>beg && pos<end)
       size_t w = 0;
       for (size_t i = 0; i < recq.size(); i++) {
@@ -1167,23 +1175,53 @@ struct CramReader : Reader {
   // --------------------------------------------------------- slice decode
 
   // decode one slice starting at *b (slice header block first), appending
-  // decoded records to recq; advances b past the slice
-  bool decode_slice_at(Buf* b, const CompHdr& cmp) {
+  // decoded records to *out; advances b past the slice
+  bool decode_slice_at(Buf* b, const CompHdr& cmp, std::vector<BamRec>* out,
+                       std::string* errp) {
     Block shb;
-    if (!read_block(*b, &shb, &err)) return false;
+    if (!read_block(*b, &shb, errp)) return false;
     if (shb.ctype != BT_SLICE_HEADER) {
-      err = "expected slice header block";
+      *errp = "expected slice header block";
       return false;
     }
     SliceHdr sh;
     if (!parse_slice_hdr(shb.data, &sh)) {
-      err = "bad slice header";
+      *errp = "bad slice header";
       return false;
     }
     std::vector<Block> blocks(sh.n_blocks);
     for (int i = 0; i < sh.n_blocks; i++)
-      if (!read_block(*b, &blocks[i], &err)) return false;
-    return decode_slice(cmp, sh, blocks);
+      if (!read_block(*b, &blocks[i], errp)) return false;
+    return decode_slice(cmp, sh, blocks, out, errp);
+  }
+
+  // decode every slice of a container payload (thread-safe: only touches
+  // shared read-only state plus the locked FASTA cache)
+  bool decode_container_payload(const std::vector<uint8_t>& payload,
+                                bool only_nocoor, std::vector<BamRec>* out,
+                                std::string* errp) {
+    CompHdr cmp;
+    Buf b(payload.data(), payload.size());
+    Block blk;
+    if (!read_block(b, &blk, errp)) return false;
+    if (blk.ctype != BT_COMP_HEADER) {
+      *errp = "expected compression header block";
+      return false;
+    }
+    if (!parse_comp_hdr(blk.data, &cmp, errp)) return false;
+    while (b.p < b.e) {
+      if (!decode_slice_at(&b, cmp, out, errp)) return false;
+    }
+    if (only_nocoor) {
+      size_t w = 0;
+      for (size_t i = 0; i < out->size(); i++) {
+        if ((*out)[i].tid >= 0) continue;
+        if (w != i) (*out)[w] = std::move((*out)[i]);
+        w++;
+      }
+      out->resize(w);
+    }
+    return true;
   }
 
   const std::string* ref_for(int tid) {
@@ -1193,7 +1231,8 @@ struct CramReader : Reader {
   }
 
   bool decode_slice(const CompHdr& cmp, const SliceHdr& sh,
-                    const std::vector<Block>& blocks) {
+                    const std::vector<Block>& blocks,
+                    std::vector<BamRec>* out, std::string* errp) {
     Ctx c;
     const std::vector<uint8_t>* embedded_ref = nullptr;
     for (const Block& blk : blocks) {
@@ -1217,11 +1256,11 @@ struct CramReader : Reader {
                    *eRS = DS("RS"), *eBA = DS("BA"), *eQS = DS("QS"),
                    *eMQ = DS("MQ");
     if (!eBF || !eCF || !eRL || !eAP) {
-      err = "missing required data series";
+      *errp = "missing required data series";
       return false;
     }
     int64_t last_ap = sh.start;
-    size_t base = recq.size();
+    size_t base = out->size();
     std::vector<int64_t> mate_link(sh.n_rec, -1);
     std::vector<uint8_t> arr;
     std::string seqbuf;
@@ -1273,7 +1312,7 @@ struct CramReader : Reader {
       // tags
       int64_t tl = eTL ? eTL->dec_int(c) : 0;
       if (tl < 0 || tl >= (int64_t)cmp.td.size()) {
-        err = "bad TL index";
+        *errp = "bad TL index";
         return false;
       }
       for (const auto& t : cmp.td[tl]) {
@@ -1282,7 +1321,7 @@ struct CramReader : Reader {
         if (it == cmp.tags.end()) { err = "missing tag encoding"; return false; }
         it->second.dec_bytes(c, &arr);  // decode & discard
       }
-      if (c.fail) { err = c.err.empty() ? "slice decode failed" : c.err; return false; }
+      if (c.fail) { *errp = c.err.empty() ? "slice decode failed" : c.err; return false; }
 
       r.tid = tid;
       r.pos = (int32_t)(ap - 1);
@@ -1308,10 +1347,10 @@ struct CramReader : Reader {
             ref_off = 1;
             ref_len = (int64_t)cur_ref->size();
           } else if (have_fasta) {
-            err = "reference sequence not found for CRAM slice";
+            *errp = "reference sequence not found for CRAM slice";
             return false;
           } else {
-            err = "CRAM decode requires the reference fasta (pass --fasta)";
+            *errp = "CRAM decode requires the reference fasta (pass --fasta)";
             return false;
           }
         }
@@ -1420,7 +1459,7 @@ struct CramReader : Reader {
               break;
             }
             default:
-              err = std::string("unknown feature code '") + (char)fc + "'";
+              *errp = std::string("unknown feature code '") + (char)fc + "'";
               return false;
           }
         }
@@ -1448,7 +1487,7 @@ struct CramReader : Reader {
             if (eQS) eQS->dec_byte(c);
         }
       }
-      if (c.fail) { err = c.err.empty() ? "slice decode failed" : c.err; return false; }
+      if (c.fail) { *errp = c.err.empty() ? "slice decode failed" : c.err; return false; }
       r.flag = (uint16_t)bf;
       r.n_cigar = (uint16_t)r.cigar.size();
       // pack sequence to 4-bit
@@ -1457,15 +1496,15 @@ struct CramReader : Reader {
         uint8_t nib = nt16(q < (int64_t)seqbuf.size() ? seqbuf[q] : 'N');
         r.seq4[q >> 1] |= (q & 1) ? nib : (uint8_t)(nib << 4);
       }
-      recq.push_back(std::move(r));
+      out->push_back(std::move(r));
     }
 
     // resolve downstream-mate pairs (CRAM 3.0 §10.5)
     for (int i = 0; i < sh.n_rec; i++) {
       if (mate_link[i] < 0) continue;
       if (mate_link[i] >= sh.n_rec) { err = "mate link out of slice"; return false; }
-      BamRec& a = recq[base + i];
-      BamRec& m = recq[base + mate_link[i]];
+      BamRec& a = (*out)[base + i];
+      BamRec& m = (*out)[base + mate_link[i]];
       a.mate_tid = m.tid;
       a.mate_pos = m.pos;
       m.mate_tid = a.tid;
@@ -1488,6 +1527,172 @@ struct CramReader : Reader {
     return true;
   }
 };
+
+// ------------------------------------------- parallel container decode
+
+struct CramMT {
+  CramReader* owner = nullptr;
+  FILE* fp = nullptr;
+  bool only_nocoor = false;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_done, cv_space;
+  int64_t read_off = 0;
+  bool reader_eof = false;
+  bool stopping = false;
+  int inflight = 0;
+
+  struct Item {
+    std::vector<BamRec> recs;
+    int64_t next_off = -1;
+    bool eof = false;
+    std::string err;
+  };
+  std::map<int64_t, Item> done;
+  size_t max_ahead = 6;  // decoded containers ahead (~1MB each)
+
+  ~CramMT() { stop(); }
+
+  bool start(const char* path, int64_t off, int threads, bool nocoor,
+             CramReader* o) {
+    owner = o;
+    only_nocoor = nocoor;
+    fp = fopen(path, "rb");
+    if (!fp) return false;
+    read_off = off;
+    for (int i = 0; i < threads; i++)
+      workers.emplace_back([this] { worker(); });
+    return true;
+  }
+
+  void stop() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stopping = true;
+    }
+    cv_space.notify_all();
+    cv_done.notify_all();
+    for (auto& w : workers) w.join();
+    workers.clear();
+    if (fp) {
+      fclose(fp);
+      fp = nullptr;
+    }
+  }
+
+  void worker() {
+    for (;;) {
+      int64_t off;
+      Item item;
+      std::vector<uint8_t> payload;
+      bool decode = false;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return stopping ||
+                 (!reader_eof && done.size() + (size_t)inflight < max_ahead);
+        });
+        if (stopping) break;
+        off = read_off;
+        ContHdr ch;
+        std::string herr;
+        if (!read_cont_hdr_fp(fp, off, &ch, &herr)) {
+          item.eof = herr.empty();
+          item.err = herr;
+          reader_eof = true;
+          done[off] = std::move(item);
+          cv_done.notify_all();
+          continue;
+        }
+        item.next_off = off + ch.header_size + ch.length;
+        read_off = item.next_off;
+        bool skip = ch.n_rec == 0 || (only_nocoor && ch.ref_id >= 0);
+        if (!skip) {
+          payload.resize(ch.length);
+          if ((int64_t)fread(payload.data(), 1, ch.length, fp) !=
+              ch.length) {
+            item.err = "truncated container";
+            reader_eof = true;
+            done[off] = std::move(item);
+            cv_done.notify_all();
+            continue;
+          }
+          decode = true;
+          inflight++;
+        } else {
+          done[off] = std::move(item);
+          cv_done.notify_all();
+          continue;
+        }
+      }
+      // decode outside the lock (read-only shared state; FASTA cache locked)
+      std::string derr;
+      if (!owner->decode_container_payload(payload, only_nocoor, &item.recs,
+                                           &derr))
+        item.err = derr;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        inflight--;
+        done[off] = std::move(item);
+      }
+      cv_done.notify_all();
+    }
+  }
+
+  bool get(int64_t off, Item* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      auto it = done.find(off);
+      if (it != done.end()) {
+        *out = std::move(it->second);
+        done.erase(it);
+        cv_space.notify_all();
+        return out->err.empty();
+      }
+      if (reader_eof && inflight == 0 &&
+          (done.empty() || done.begin()->first > off)) {
+        out->eof = true;
+        out->err.clear();
+        return true;
+      }
+      cv_done.wait(lk);
+    }
+  }
+};
+
+CramReader::~CramReader() {
+  stop_mt();
+  if (fp) fclose(fp);
+}
+
+void CramReader::start_mt(int64_t off, int threads) {
+  CramMT* m = new CramMT();
+  if (!m->start(path_.c_str(), off, threads, mode == 2, this)) {
+    delete m;
+    return;
+  }
+  cmt = m;
+  mt_next_off = off;
+}
+
+void CramReader::stop_mt() {
+  delete cmt;
+  cmt = nullptr;
+}
+
+int CramReader::load_next_container_mt() {
+  recq.clear();
+  reci = 0;
+  CramMT::Item item;
+  if (!cmt->get(mt_next_off, &item)) {
+    err = item.err;
+    return -1;
+  }
+  if (item.eof) return 0;
+  mt_next_off = item.next_off;
+  recq = std::move(item.recs);
+  return 1;
+}
 
 }  // namespace
 
