@@ -116,3 +116,17 @@ def test_control_emit_and_reuse(cohort):
     locus_rows = [r for r in rows if abs(int(float(r[li])) - LOCUS) < 1000]
     assert locus_rows
     assert any(float(r[oi]) > 2 for r in locus_rows)
+
+
+def test_distributed_merge_matches_cohort(cohort):
+    """10-sample joint discovery: locus-space-sharded merge reproduces the
+    single-process bounds exactly (order-insensitively)."""
+    from strling_tpu.parallel.merge_dist import run_merge_dist
+
+    bins = [str(cohort / f"s{i:02d}.bin") for i in range(N_SAMPLES)]
+    lines = run_merge_dist(bins, fasta=str(cohort / "ref.fa"),
+                           output_prefix=str(cohort / "joint_dist"))
+    with open(str(cohort / "joint-bounds.txt")) as f:
+        want = sorted(f.read().splitlines()[1:])
+    assert sorted(lines) == want
+    assert len(want) >= 1

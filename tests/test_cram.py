@@ -310,3 +310,56 @@ def test_malformed_cram_fails_cleanly(paths, tmp_path):
         assert r.returncode in (0, 3), (
             f"case {i}: rc={r.returncode} (crash?)\n{r.stderr.decode()[-500:]}"
         )
+
+
+def test_random_records_roundtrip(paths):
+    """Property test: random flags/cigars/positions round-trip exactly."""
+    rng = random.Random(123)
+    ref = paths["ref"]
+    recs = []
+    for i in range(300):
+        tid = rng.choice([0, 1])
+        chrom = "chr1" if tid == 0 else "chr2"
+        pos = rng.randrange(0, len(ref[chrom]) - 400)
+        # random cigar: clips around a mix of M/I/D/N ops
+        parts = []
+        if rng.random() < 0.4:
+            parts.append((rng.randrange(1, 30), 4))  # S
+        n_mid = rng.randrange(1, 4)
+        for j in range(n_mid):
+            parts.append((rng.randrange(1, 60), 0))  # M
+            if j < n_mid - 1:
+                parts.append((rng.randrange(1, 9),
+                              rng.choice([1, 2, 3])))  # I/D/N
+        if rng.random() < 0.4:
+            parts.append((rng.randrange(1, 30), 4))  # S
+        if rng.random() < 0.2:
+            parts = [(rng.randrange(1, 9), 5)] + parts + [(rng.randrange(1, 9), 5)]  # H
+        # build the read sequence consistent with the cigar
+        seq = []
+        p = pos
+        for n, op in parts:
+            if op == 0:  # M: ref bases with occasional mismatch
+                for k in range(n):
+                    b = ref[chrom][p + k] if p + k < len(ref[chrom]) else "N"
+                    if rng.random() < 0.1:
+                        b = rng.choice("ACGTN")
+                    seq.append(b)
+                p += n
+            elif op == 1:  # I
+                seq.extend(rng.choice("ACGT") for _ in range(n))
+            elif op in (2, 3):  # D/N
+                p += n
+            elif op == 4:  # S
+                seq.extend(rng.choice("ACGT") for _ in range(n))
+        flag = rng.choice([0, 16, 99, 147, 83, 163, 1024, 512])
+        recs.append(BamRecord(f"rr{i}", flag, tid, pos,
+                              rng.randrange(0, 61), parts,
+                              -1, -1, 0, "".join(seq)))
+    recs.sort(key=lambda r: (r.tid, r.pos))
+    d = paths["dir"]
+    bam_p = str(d / "prop.bam")
+    cram_p = str(d / "prop.cram")
+    write_bam(bam_p, HEADER, TARGETS, recs)
+    write_cram(cram_p, HEADER, TARGETS, recs, fasta=paths["fa"], slice_size=41)
+    assert_same_records(bam_p, cram_p, fasta=paths["fa"])
