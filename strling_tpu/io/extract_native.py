@@ -1,8 +1,9 @@
 """Python driver for the native C++ extract engine.
 
-Lockstep loop with one-deep pipelining: while the device scans batch i, the
-C++ engine reads and packs batch i+1 from the BAM (the ~30ms tunnel fetch
-latency and the BGZF decode overlap with device compute).
+Pipelined loop (default 4 batches in flight): while the device scans batches
+i..i+3, the C++ engine reads and packs the next batch and the result-fetch
+round trips overlap device compute (the ~30ms tunnel fetch latency and the
+BGZF decode never serialize with the scan).
 """
 
 from __future__ import annotations
