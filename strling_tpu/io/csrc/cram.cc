@@ -1274,11 +1274,11 @@ struct CramReader : Reader {
       int64_t cf = eCF->dec_int(c);
       int32_t tid = sh.ref_id;
       if (sh.ref_id == -2) {
-        if (!eRI) { err = "multiref slice without RI"; return false; }
+        if (!eRI) { *errp = "multiref slice without RI"; return false; }
         tid = (int32_t)eRI->dec_int(c);
       }
       int64_t rl = eRL->dec_int(c);
-      if (rl < 0 || rl > (1 << 20)) { err = "bad CRAM read length"; return false; }
+      if (rl < 0 || rl > (1 << 20)) { *errp = "bad CRAM read length"; return false; }
       int64_t ap;
       if (cmp.ap_delta) {
         ap = last_ap + eAP->dec_int(c);
@@ -1318,7 +1318,7 @@ struct CramReader : Reader {
       for (const auto& t : cmp.td[tl]) {
         int32_t key = ((int32_t)t[0] << 16) | ((int32_t)t[1] << 8) | t[2];
         auto it = cmp.tags.find(key);
-        if (it == cmp.tags.end()) { err = "missing tag encoding"; return false; }
+        if (it == cmp.tags.end()) { *errp = "missing tag encoding"; return false; }
         it->second.dec_bytes(c, &arr);  // decode & discard
       }
       if (c.fail) { *errp = c.err.empty() ? "slice decode failed" : c.err; return false; }
@@ -1367,14 +1367,14 @@ struct CramReader : Reader {
             r.cigar.push_back((uint32_t)((len << 4) | op));
         };
         int64_t fn = eFN ? eFN->dec_int(c) : 0;
-        if (fn < 0 || fn > 4 * rl + 64) { err = "bad CRAM feature count"; return false; }
+        if (fn < 0 || fn > 4 * rl + 64) { *errp = "bad CRAM feature count"; return false; }
         int64_t rpos = ap;  // 1-based reference cursor
         int64_t qpos = 1;   // 1-based read cursor
         int64_t prev_fp = 0;
         for (int64_t f = 0; f < fn && !c.fail; f++) {
           int fc = eFC ? eFC->dec_byte(c) : 0;
           int64_t fp_ = prev_fp + (eFP ? eFP->dec_int(c) : 0);
-          if (fp_ < 0 || fp_ > rl + 1) { err = "bad CRAM feature position"; return false; }
+          if (fp_ < 0 || fp_ > rl + 1) { *errp = "bad CRAM feature position"; return false; }
           prev_fp = fp_;
           int64_t gap = fp_ - qpos;
           if (gap > 0) {
@@ -1463,7 +1463,7 @@ struct CramReader : Reader {
               return false;
           }
         }
-        if (qpos > rl + 1) { err = "CRAM features overrun read length"; return false; }
+        if (qpos > rl + 1) { *errp = "CRAM features overrun read length"; return false; }
         int64_t tail = rl - (qpos - 1);
         if (tail > 0) {
           for (int64_t g = 0; g < tail; g++) seqbuf.push_back(refbase(rpos + g));
@@ -1502,7 +1502,7 @@ struct CramReader : Reader {
     // resolve downstream-mate pairs (CRAM 3.0 §10.5)
     for (int i = 0; i < sh.n_rec; i++) {
       if (mate_link[i] < 0) continue;
-      if (mate_link[i] >= sh.n_rec) { err = "mate link out of slice"; return false; }
+      if (mate_link[i] >= sh.n_rec) { *errp = "mate link out of slice"; return false; }
       BamRec& a = (*out)[base + i];
       BamRec& m = (*out)[base + mate_link[i]];
       a.mate_tid = m.tid;
