@@ -238,6 +238,50 @@ def rans_encode_o1(data: bytes) -> bytes:
     return bytes([1]) + struct.pack("<II", len(payload), n) + payload
 
 
+class CoreBits:
+    """MSB-first bit stream for the slice core block (BETA/GAMMA values)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def put_gamma(self, value: int):
+        assert value >= 1
+        n = value.bit_length() - 1
+        self.bits.extend([0] * n)
+        self.put(value, n + 1)
+
+    def blob(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 0x80 >> (i & 7)
+        return bytes(out)
+
+
+def _enc_beta(offset: int, nbits: int) -> bytes:
+    p = itf8(offset) + itf8(nbits)
+    return itf8(6) + itf8(len(p)) + p
+
+
+def _enc_gamma(offset: int) -> bytes:
+    p = itf8(offset)
+    return itf8(9) + itf8(len(p)) + p
+
+
+def _enc_huffman(syms: list[int], lens: list[int]) -> bytes:
+    p = itf8(len(syms))
+    for v in syms:
+        p += itf8(v)
+    p += itf8(len(lens))
+    for v in lens:
+        p += itf8(v)
+    return itf8(3) + itf8(len(p)) + p
+
+
 # ------------------------------------------------------------------- blocks
 
 
@@ -294,7 +338,7 @@ def _enc_byte_array_len(len_cid: int, val_cid: int) -> bytes:
     return itf8(4) + itf8(len(p)) + p
 
 
-def _comp_header(ref_based: bool, ap_delta: bool) -> bytes:
+def _comp_header(ref_based: bool, ap_delta: bool, core_codecs: bool = False) -> bytes:
     # preservation map
     pres = bytearray()
     entries = [
@@ -315,6 +359,12 @@ def _comp_header(ref_based: bool, ap_delta: bool) -> bytes:
         "IN": _enc_byte_array_stop(0x00, S["IN"][0]),
         "SC": _enc_byte_array_stop(0x00, S["SC"][0]),
     }
+    if core_codecs:
+        # exercise the core-stream codecs: canonical HUFFMAN for MQ
+        # (multi-symbol), BETA for RL, GAMMA for FN
+        enc["MQ"] = _enc_huffman(list(range(64)), [6] * 64)
+        enc["RL"] = _enc_beta(0, 20)
+        enc["FN"] = _enc_gamma(1)  # raw = value+1 >= 1, decode subtracts
     ds = bytearray()
     keys = [k for k in S if k != "BBL"]
     ds += itf8(len(keys))
@@ -416,7 +466,7 @@ def _mate_reconstruct_ok(a: BamRecord, b: BamRecord) -> bool:
 def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
                records: list[BamRecord], fasta=None, write_index: bool = True,
                slice_size: int = 4096, ap_delta: bool = True,
-               embed_ref: bool = False):
+               embed_ref: bool = False, core_codecs: bool = False):
     """Write a CRAM 3.0 (+ .crai). `fasta` is a path, a dict name->seq, or
     None (verbatim base encoding, RR=false). Records should be
     coordinate-sorted for meaningful .crai queries."""
@@ -455,7 +505,8 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
     counter = 0
     for chunk in chunks:
         payload, ref_id, start, span, nbases, landmark, ssize = _container(
-            chunk, refs, targets, ref_based, ap_delta, embed_ref, counter)
+            chunk, refs, targets, ref_based, ap_delta, embed_ref, counter,
+            core_codecs)
         coff = out.tell()
         out.write(payload)
         counter += len(chunk)
@@ -488,7 +539,8 @@ def _cont_header(length: int, ref_id: int, start: int, span: int, n_rec: int,
 
 
 def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
-               ap_delta: bool, embed_ref: bool, counter: int):
+               ap_delta: bool, embed_ref: bool, counter: int,
+               core_codecs: bool = False):
     tids = {r.tid for r in chunk}
     if len(tids) == 1:
         ref_id = chunk[0].tid
@@ -502,6 +554,7 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
 
     # streams
     st = {k: bytearray() for k in _SERIES}
+    core = CoreBits()
     ap_last = start
 
     # same-slice downstream mates (verified reconstruction, else detached)
@@ -545,7 +598,10 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
         st["CF"] += itf8(cf)
         if ref_id == -2:
             st["RI"] += itf8(r.tid)
-        st["RL"] += itf8(len(r.seq))
+        if core_codecs:
+            core.put(len(r.seq), 20)  # BETA(offset=0, 20 bits)
+        else:
+            st["RL"] += itf8(len(r.seq))
         ap = r.pos + 1
         if ap_delta:
             st["AP"] += itf8(ap - ap_last)
@@ -564,7 +620,10 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
             st["NF"] += itf8(mate_link[i] - i - 1)
         st["TL"] += itf8(0)
         if not (r.flag & 4):
-            st["FN"] += itf8(len(feats))
+            if core_codecs:
+                core.put_gamma(len(feats) + 1)  # GAMMA(offset=1)
+            else:
+                st["FN"] += itf8(len(feats))
             prev = 0
             for code, fpos, payload in feats:
                 st["FC"].append(ord(code))
@@ -584,13 +643,17 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
                 elif code in "DNPH":
                     key = {"D": "DL", "N": "RS", "P": "PD", "H": "HC"}[code]
                     st[key] += itf8(payload)
-            st["MQ"] += itf8(r.mapq)
+            if core_codecs:
+                assert r.mapq < 64, "core-codec mode caps MAPQ at 63"
+                core.put(r.mapq, 6)  # canonical HUFFMAN, all lengths 6
+            else:
+                st["MQ"] += itf8(r.mapq)
         else:
             st["BA"] += r.seq.encode()
 
-    # blocks: core (empty) + every external stream
+    # blocks: core (bit stream; empty unless core_codecs) + external streams
     blocks = bytearray()
-    blocks += _block(0, 5, 0, b"")
+    blocks += _block(0, 5, 0, core.blob())
     content_ids = []
     for key, (cid, method) in _SERIES.items():
         blocks += _ext_block(cid, bytes(st[key]), method)
@@ -609,7 +672,7 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
     shdr += b"\x00" * 16  # md5 (not verified)
     slice_hdr_block = _block(0, 2, 0, shdr)
 
-    comp = _comp_header(ref_based, ap_delta)
+    comp = _comp_header(ref_based, ap_delta, core_codecs)
     payload = comp + slice_hdr_block + bytes(blocks)
     landmark = len(comp)
     ssize = len(slice_hdr_block) + len(blocks)

@@ -363,3 +363,12 @@ def test_random_records_roundtrip(paths):
     write_bam(bam_p, HEADER, TARGETS, recs)
     write_cram(cram_p, HEADER, TARGETS, recs, fasta=paths["fa"], slice_size=41)
     assert_same_records(bam_p, cram_p, fasta=paths["fa"])
+
+
+def test_core_codec_roundtrip(paths):
+    """HUFFMAN / BETA / GAMMA values in the core bit stream decode exactly
+    (the default writer uses only EXTERNAL/BYTE_ARRAY encodings)."""
+    p = str(paths["dir"] / "core.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"],
+               slice_size=23, core_codecs=True)
+    assert_same_records(paths["bam"], p, fasta=paths["fa"])
