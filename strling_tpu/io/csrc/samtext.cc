@@ -8,6 +8,8 @@
 
 #include "strling_io.h"
 
+#include <zlib.h>
+
 namespace {
 
 using sio::BamRec;
@@ -21,58 +23,161 @@ static uint8_t nt16(char c) {
   return 15;
 }
 
-struct SamReader : Reader {
+// text source: plain file or gzip/BGZF stream (zlib auto-detect, windowBits
+// 15+32, multi-member via inflateReset — htslib reads .sam.gz the same way)
+struct LineSource {
   FILE* fp = nullptr;
+  bool gz = false;
+  z_stream zs{};
+  bool zinit = false;
+  std::vector<uint8_t> inbuf;
+  std::vector<char> outbuf;
+  size_t opos = 0, olen = 0;
+  bool in_eof = false;
+
+  ~LineSource() { close(); }
+
+  void close() {
+    if (zinit) {
+      inflateEnd(&zs);
+      zinit = false;
+    }
+    if (fp) {
+      fclose(fp);
+      fp = nullptr;
+    }
+  }
+
+  bool open(const char* path) {
+    close();
+    fp = fopen(path, "rb");
+    if (!fp) return false;
+    uint8_t magic[2] = {0, 0};
+    size_t n = fread(magic, 1, 2, fp);
+    gz = n == 2 && magic[0] == 0x1f && magic[1] == 0x8b;
+    fseeko(fp, 0, SEEK_SET);
+    if (gz) {
+      memset(&zs, 0, sizeof zs);
+      if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
+      zinit = true;
+      inbuf.resize(1 << 16);
+      outbuf.resize(1 << 16);
+      opos = olen = 0;
+      in_eof = false;
+    }
+    consumed = 0;
+    return true;
+  }
+
+  void rewind_to(int64_t off) {
+    // plain files seek; gzip streams restart and re-inflate (header is
+    // consumed once per begin(); SAM scans are sequential)
+    if (!gz) {
+      fseeko(fp, off, SEEK_SET);
+      consumed = off;
+      return;
+    }
+    fseeko(fp, 0, SEEK_SET);
+    inflateReset2(&zs, 15 + 32);
+    zs.avail_in = 0;
+    opos = olen = 0;
+    in_eof = false;
+    consumed = 0;
+    skip_bytes = off;
+  }
+
+  int64_t skip_bytes = 0;  // decompressed bytes to discard after rewind
+
+  // refill outbuf; returns false at stream end
+  bool refill() {
+    if (!gz) return false;
+    opos = 0;
+    olen = 0;
+    while (olen == 0) {
+      if (zs.avail_in == 0 && !in_eof) {
+        size_t got = fread(inbuf.data(), 1, inbuf.size(), fp);
+        zs.next_in = inbuf.data();
+        zs.avail_in = (uInt)got;
+        if (got == 0) in_eof = true;
+      }
+      if (in_eof && zs.avail_in == 0) return false;
+      zs.next_out = (Bytef*)outbuf.data();
+      zs.avail_out = (uInt)outbuf.size();
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      olen = outbuf.size() - zs.avail_out;
+      if (rc == Z_STREAM_END) {
+        // multi-member (BGZF): continue with the next member
+        if (inflateReset2(&zs, 15 + 32) != Z_OK) in_eof = true;
+      } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        return olen > 0;
+      }
+      if (in_eof && zs.avail_in == 0 && olen == 0) return false;
+    }
+    return true;
+  }
+
+  int64_t consumed = 0;  // decompressed bytes delivered so far
+
+  // read one byte; -1 at EOF
+  int getc_() {
+    int c;
+    if (!gz) {
+      c = fgetc(fp);
+    } else {
+      while (opos >= olen) {
+        if (!refill()) return -1;
+      }
+      c = (unsigned char)outbuf[opos++];
+    }
+    if (c >= 0) consumed++;
+    return c;
+  }
+
+  bool getline(std::vector<char>* line) {
+    line->clear();
+    while (skip_bytes > 0) {
+      if (getc_() < 0) return false;
+      skip_bytes--;
+    }
+    int c;
+    while ((c = getc_()) >= 0) {
+      if (c == '\n') break;
+      line->push_back((char)c);
+    }
+    if (c < 0 && line->empty()) return false;
+    while (!line->empty() && line->back() == '\r') line->pop_back();
+    line->push_back('\0');
+    return true;
+  }
+
+};
+
+struct SamReader : Reader {
+  LineSource src;
   std::string hdr_text;
   std::vector<std::string> names;
   std::vector<int64_t> lens;
   std::map<std::string, int> name2tid;
-  int64_t first_rec_off = 0;
+  int64_t first_rec_off = 0;  // plain: file offset; gz: decompressed offset
   int mode = 0;
   bool iter_done = false;
   std::vector<char> line;
-
-  ~SamReader() override {
-    if (fp) fclose(fp);
-  }
 
   const std::string& header_text() override { return hdr_text; }
   const std::vector<std::string>& ref_names() override { return names; }
   const std::vector<int64_t>& ref_lens() override { return lens; }
   bool has_index() override { return false; }
 
-  bool getline() {
-    line.clear();
-    char buf[65536];
-    while (fgets(buf, sizeof buf, fp)) {
-      size_t n = strlen(buf);
-      line.insert(line.end(), buf, buf + n);
-      if (n && buf[n - 1] == '\n') {
-        line.pop_back();
-        if (!line.empty() && line.back() == '\r') line.pop_back();
-        line.push_back('\0');
-        return true;
-      }
-    }
-    if (!line.empty()) {  // final line without newline
-      line.push_back('\0');
-      return true;
-    }
-    return false;
-  }
+  bool getline() { return src.getline(&line); }
 
   bool open(const char* path) {
-    fp = fopen(path, "rb");
-    if (!fp) { err = "cannot open file"; return false; }
-    // header lines
+    if (!src.open(path)) { err = "cannot open file"; return false; }
+    // header lines; track the (decompressed) offset of the first record
     int64_t off = 0;
     while (true) {
-      off = ftello(fp);
+      off = src.consumed;
       if (!getline()) break;
-      if (line[0] != '@') {
-        fseeko(fp, off, SEEK_SET);
-        break;
-      }
+      if (line[0] != '@') break;
       hdr_text.append(line.data());
       hdr_text.push_back('\n');
       if (strncmp(line.data(), "@SQ", 3) == 0) {
@@ -103,7 +208,7 @@ struct SamReader : Reader {
     }
     mode = m;
     iter_done = false;
-    fseeko(fp, first_rec_off, SEEK_SET);
+    src.rewind_to(first_rec_off);
     return true;
   }
 

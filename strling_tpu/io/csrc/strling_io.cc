@@ -1,29 +1,53 @@
 #include "strling_io.h"
 
+#include <zlib.h>
+
 using namespace sio;
 
 namespace {
 
-// detect container format by magic: raw "CRAM", plain-text SAM ('@' header
-// or a tab-separated record line), else BGZF(gzip)-wrapped BAM
+// detect container format: raw "CRAM"; gzip wrapping either BAM or SAM text
+// (peek the decompressed head); plain-text SAM ('@' header or a
+// tab-separated record line); else BAM
 enum Fmt { FMT_BAM, FMT_CRAM, FMT_SAM };
 
-Fmt sniff(const char* path) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return FMT_BAM;
-  unsigned char buf[256] = {0};
-  size_t n = fread(buf, 1, sizeof buf, f);
-  fclose(f);
-  if (n >= 4 && memcmp(buf, "CRAM", 4) == 0) return FMT_CRAM;
-  if (n >= 2 && buf[0] == 0x1f && buf[1] == 0x8b) return FMT_BAM;
+Fmt classify_text(const unsigned char* buf, size_t n) {
   if (n > 0 && buf[0] == '@') return FMT_SAM;
-  // headerless SAM: a text line with tabs
   size_t tabs = 0;
   for (size_t i = 0; i < n && buf[i] != '\n'; i++) {
     if (buf[i] == '\t') tabs++;
     if (buf[i] == 0) return FMT_BAM;  // binary
   }
   return tabs >= 10 ? FMT_SAM : FMT_BAM;
+}
+
+Fmt sniff(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return FMT_BAM;
+  unsigned char buf[1 << 15];
+  size_t n = fread(buf, 1, sizeof buf, f);
+  fclose(f);
+  if (n >= 4 && memcmp(buf, "CRAM", 4) == 0) return FMT_CRAM;
+  if (n >= 2 && buf[0] == 0x1f && buf[1] == 0x8b) {
+    // gzip: peek the decompressed head ("BAM\1" vs SAM text)
+    unsigned char peek[64] = {0};
+    z_stream zs;
+    memset(&zs, 0, sizeof zs);
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) return FMT_BAM;
+    zs.next_in = buf;
+    zs.avail_in = (uInt)n;
+    zs.next_out = peek;
+    zs.avail_out = sizeof peek;
+    int rc = inflate(&zs, Z_NO_FLUSH);
+    size_t got = sizeof peek - zs.avail_out;
+    inflateEnd(&zs);
+    if ((rc == Z_OK || rc == Z_STREAM_END || rc == Z_BUF_ERROR) && got >= 4) {
+      if (memcmp(peek, "BAM\1", 4) == 0) return FMT_BAM;
+      return classify_text(peek, got);
+    }
+    return FMT_BAM;
+  }
+  return classify_text(buf, n);
 }
 
 }  // namespace

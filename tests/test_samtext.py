@@ -68,3 +68,30 @@ def test_extract_sam_equals_bam(sam_paths, tmp_path):
     assert np.array_equal(out["bam"][1], out["sam"][1])
     assert np.array_equal(out["bam"][0].data, out["sam"][0].data)
     assert out["bam"][0].qnames == out["sam"][0].qnames
+
+
+@pytest.fixture(scope="module")
+def gz_paths(sam_paths, tmp_path_factory):
+    """The same SAM compressed two ways: plain gzip and BGZF (multi-member)."""
+    import gzip
+
+    d = tmp_path_factory.mktemp("samgz")
+    text = open(str(sam_paths / "t.sam"), "rb").read()
+    with gzip.open(str(d / "t.sam.gz"), "wb") as f:
+        f.write(text)
+    from strling_tpu.io.bamwrite import BgzfWriter
+
+    w = BgzfWriter(str(d / "t_bgzf.sam.gz"))
+    w.write(text)
+    w.close()
+    return d
+
+
+def test_gzip_sam_matches_bam(sam_paths, gz_paths):
+    b = Bam(str(sam_paths / "t.bam"))
+    want = collect(b.batches())
+    for name in ("t.sam.gz", "t_bgzf.sam.gz"):
+        s = Bam(str(gz_paths / name))
+        assert s.header_text == b.header_text
+        assert collect(s.batches()) == want, name
+        assert collect(s.query_unmapped()) == collect(b.query_unmapped()), name
