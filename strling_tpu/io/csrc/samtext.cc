@@ -34,6 +34,8 @@ struct LineSource {
   std::vector<char> outbuf;
   size_t opos = 0, olen = 0;
   bool in_eof = false;
+  bool member_done = true;   // at a gzip member boundary
+  bool truncated = false;    // input ended mid-member
 
   ~LineSource() { close(); }
 
@@ -82,6 +84,8 @@ struct LineSource {
     zs.avail_in = 0;
     opos = olen = 0;
     in_eof = false;
+    member_done = true;
+    truncated = false;
     consumed = 0;
     skip_bytes = off;
   }
@@ -105,13 +109,19 @@ struct LineSource {
       zs.avail_out = (uInt)outbuf.size();
       int rc = inflate(&zs, Z_NO_FLUSH);
       olen = outbuf.size() - zs.avail_out;
+      if (olen > 0 || zs.avail_in > 0 || !in_eof) member_done = false;
       if (rc == Z_STREAM_END) {
+        member_done = true;
         // multi-member (BGZF): continue with the next member
         if (inflateReset2(&zs, 15 + 32) != Z_OK) in_eof = true;
       } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        truncated = true;  // corrupt stream
         return olen > 0;
       }
-      if (in_eof && zs.avail_in == 0 && olen == 0) return false;
+      if (in_eof && zs.avail_in == 0 && olen == 0) {
+        if (!member_done) truncated = true;
+        return false;
+      }
     }
     return true;
   }
@@ -222,7 +232,14 @@ struct SamReader : Reader {
   int next(BamRec* r) override {
     for (;;) {
       if (iter_done) return 0;
-      if (!getline()) { iter_done = true; return 0; }
+      if (!getline()) {
+        if (src.truncated) {
+          err = "truncated gzip stream in SAM input";
+          return -1;
+        }
+        iter_done = true;
+        return 0;
+      }
       if (line[0] == '@' || line[0] == '\0') continue;
       // split 11 mandatory fields (aux ignored)
       char* f[12] = {nullptr};

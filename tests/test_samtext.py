@@ -95,3 +95,13 @@ def test_gzip_sam_matches_bam(sam_paths, gz_paths):
         assert s.header_text == b.header_text
         assert collect(s.batches()) == want, name
         assert collect(s.query_unmapped()) == collect(b.query_unmapped()), name
+
+
+def test_truncated_gzip_sam_raises(gz_paths, tmp_path):
+    blob = open(str(gz_paths / "t.sam.gz"), "rb").read()
+    p = tmp_path / "trunc.sam.gz"
+    p.write_bytes(blob[: len(blob) * 2 // 3])
+    s = Bam(str(p))
+    with pytest.raises(IOError):
+        for _ in s.batches():
+            pass
