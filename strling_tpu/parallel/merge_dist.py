@@ -28,14 +28,13 @@ from __future__ import annotations
 import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.experimental import multihost_utils
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from strling_tpu.core.callclusters import TreadGroups, assign_reads_locus, bounds_checked
 from strling_tpu.core.cluster import BOUNDS_HEADER, Bounds, cluster, parse_bed
-from strling_tpu.core.merge import fill_targets, get_tid_from_fasta, has_per_sample_reads
+from strling_tpu.core.merge import get_tid_from_fasta, has_per_sample_reads
 from strling_tpu.core.tread import TREAD_DTYPE, TreadBatch
 from strling_tpu.io.binfmt import read_bin, same_targets
 from strling_tpu.utils import fraglen
