@@ -24,24 +24,44 @@ class TreadGroups:
         n = len(data)
         if n == 0:
             return self
-        qn = np.array(
-            tb.qnames if tb.qnames else [""] * n, dtype=object
-        )
+        if isinstance(tb.qnames, np.ndarray):
+            qn = tb.qnames  # merge's int sample ids: keep the fast dtype
+        else:
+            qn = np.array(
+                tb.qnames if tb.qnames else [""] * n, dtype=object
+            )
         # vectorized bucketing: unique (tid, repeat) keys, first-seen order
         # (Nim table order is a hash artifact; see cluster.py docstring),
-        # stably position-sorted within each group
-        sub = data[["tid", "repeat"]]
-        uniq, first_idx, inv = np.unique(
-            sub, return_index=True, return_inverse=True
+        # stably position-sorted within each group. The repeat unit packs
+        # into one int64 key — structured-dtype np.unique compares rows
+        # elementwise in Python and is ~10x slower at cohort scale.
+        rep = (
+            np.ascontiguousarray(data["repeat"])
+            .view(np.uint8).reshape(n, 6).astype(np.uint64)
         )
-        perm = np.lexsort((data["position"], inv))  # stable
-        inv_sorted = inv[perm]
-        bounds_idx = np.searchsorted(inv_sorted, np.arange(len(uniq) + 1))
+        rep64 = rep[:, 0]
+        for i in range(1, 6):
+            rep64 = rep64 | (rep[:, i] << np.uint64(8 * i))
+        tid = data["tid"].astype(np.int64)
+        perm = np.lexsort((data["position"], rep64, tid))  # stable
+        tid_s = tid[perm]
+        rep_s = rep64[perm]
+        newgrp = np.empty(n, bool)
+        newgrp[0] = True
+        newgrp[1:] = (tid_s[1:] != tid_s[:-1]) | (rep_s[1:] != rep_s[:-1])
+        starts = np.flatnonzero(newgrp)
+        ends = np.append(starts[1:], n)
+        first_idx = np.minimum.reduceat(perm, starts)
         key_rank = np.argsort(first_idx, kind="stable")  # first-seen order
+        # one global gather, then zero-copy group views (no consumer mutates
+        # group arrays in place; assign_reads_locus copies before filtering)
+        data_sorted = data[perm]
+        qn_sorted = qn[perm]
         for kid in key_rank:
-            sl = perm[bounds_idx[kid]: bounds_idx[kid + 1]]
-            k = (int(uniq[kid]["tid"]), uniq[kid]["repeat"].decode())
-            self.groups[k] = (data[sl], qn[sl])
+            lo, hi = starts[kid], ends[kid]
+            k = (int(data_sorted["tid"][lo]),
+                 data_sorted["repeat"][lo].decode())
+            self.groups[k] = (data_sorted[lo:hi], qn_sorted[lo:hi])
         return self
 
     def items(self):

@@ -22,7 +22,7 @@ def has_per_sample_reads(c: Cluster, supporting_reads: int) -> bool:
     id carried in the qname slot)."""
     if len(c.qnames) == 0:
         return False
-    _, counts = np.unique(np.asarray(c.qnames, dtype=object), return_counts=True)
+    _, counts = np.unique(np.asarray(c.qnames), return_counts=True)
     return int(counts.max()) >= supporting_reads
 
 
@@ -80,7 +80,7 @@ def run_merge(bins: list[str], fasta: str | None = None, window: int = -1,
         # tid remapping happens even with --diff-refs
         ex = read_bin(
             binfile, drop_unplaced=True, verbose=verbose,
-            requested_tid=requested_tid,
+            requested_tid=requested_tid, skip_qnames=True,
         )
         if not targets:
             targets = ex.targets
@@ -96,7 +96,7 @@ def run_merge(bins: list[str], fasta: str | None = None, window: int = -1,
         data = ex.reads.data.copy()
         data["sample"] = sample_i
         all_rows.append(data)
-        all_samples.extend([str(sample_i)] * len(data))
+        all_samples.append(np.full(len(data), sample_i, np.int32))
         print(
             f"[strling] read {len(data)} STR reads from file: {binfile}",
             file=sys.stderr,
@@ -106,7 +106,8 @@ def run_merge(bins: list[str], fasta: str | None = None, window: int = -1,
     from strling_tpu.core.tread import TREAD_DTYPE, TreadBatch
 
     data = np.concatenate(all_rows) if all_rows else np.zeros(0, TREAD_DTYPE)
-    tb = TreadBatch(data=data, qnames=all_samples)
+    samples = np.concatenate(all_samples) if all_samples else np.zeros(0, np.int32)
+    tb = TreadBatch(data=data, qnames=samples)
     groups = TreadGroups.from_batch(tb)
 
     ntr = sum(len(g[0]) for g in groups.groups.values())

@@ -262,12 +262,17 @@ class Extracted:
 
 def read_bin(path: str, drop_unplaced: bool = False, verbose: bool = False,
              targets: list | None = None, requested_tid: int | None = None,
-             native: bool = True) -> Extracted:
-    """unpack.nim:58-133 including cross-header tid remapping."""
+             native: bool = True, skip_qnames: bool = False) -> Extracted:
+    """unpack.nim:58-133 including cross-header tid remapping.
+
+    skip_qnames=True leaves TreadBatch.qnames empty — merge overwrites them
+    with sample ids anyway (merge.nim:118-124), and skipping saves building
+    millions of Python strings on cohort-sized inputs."""
     if native:
         try:
             return _native_read_bin(
-                path, drop_unplaced, verbose, targets, requested_tid
+                path, drop_unplaced, verbose, targets, requested_tid,
+                skip_qnames,
             )
         except OSError:
             pass
@@ -420,7 +425,8 @@ def _native_write_bin(path, treads: TreadBatch, frag_dist, header_text,
         raise OSError(f"native bin write failed: {path}")
 
 
-def _native_read_bin(path, drop_unplaced, verbose, targets, requested_tid):
+def _native_read_bin(path, drop_unplaced, verbose, targets, requested_tid,
+                     skip_qnames=False):
     import ctypes as C
 
     lib = _native_lib()
@@ -479,8 +485,11 @@ def _native_read_bin(path, drop_unplaced, verbose, targets, requested_tid):
     data["mapping_quality"] = mapq
     data["repeat_count"] = rcnt
     data["align_length"] = alen
-    blob = qbuf.raw[:qsize]
-    qnames = [blob[qoff[i]: qoff[i + 1]].decode() for i in range(n)]
+    if skip_qnames:
+        qnames = []
+    else:
+        blob = qbuf.raw[:qsize]
+        qnames = [blob[qoff[i]: qoff[i + 1]].decode() for i in range(n)]
 
     bin_targets = parse_header_targets(header)
     out_targets = bin_targets
@@ -505,7 +514,8 @@ def _native_read_bin(path, drop_unplaced, verbose, targets, requested_tid):
             keep &= data["tid"] >= 0
         if not keep.all():
             data = data[keep]
-            qnames = [q for q, k in zip(qnames, keep) if k]
+            if qnames:
+                qnames = [q for q, k in zip(qnames, keep) if k]
 
     if requested_tid is None and not drop_unplaced:
         assert len(data) == n_declared, (

@@ -155,7 +155,7 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
         if sample_i % nproc != pid:
             continue
         ex = read_bin(binfile, drop_unplaced=True, verbose=verbose,
-                      requested_tid=requested_tid)
+                      requested_tid=requested_tid, skip_qnames=True)
         if targets is None:
             targets = ex.targets
         elif not same_targets(ex.targets, targets):
@@ -227,7 +227,7 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
         parts = [arr[s, :counts_global[s, dev_idx]] for s in range(S)]
         got = np.concatenate(parts) if parts else np.zeros((0, PACK_W), np.int32)
         sdata = unpack_treads(got)
-        tb = TreadBatch(data=sdata, qnames=[str(s) for s in sdata["sample"]])
+        tb = TreadBatch(data=sdata, qnames=sdata["sample"].copy())
         groups = TreadGroups.from_batch(tb)
 
         for li, locus in enumerate(loci):
