@@ -69,16 +69,41 @@ def _modal_code(wmin: jnp.ndarray, valid: jnp.ndarray):
     windows (count==0), mirroring imax == -1 (utils.nim:210).
     """
     B, W = wmin.shape
-    eq = (wmin[:, :, None] == wmin[:, None, :]) & valid[:, :, None] & valid[:, None, :]
-    eqi = eq.astype(jnp.int32)
-    total = eqi.sum(axis=1)  # [B, W] total occurrences of code at window j
-    tril = (jnp.arange(W)[:, None] <= jnp.arange(W)[None, :]).astype(jnp.int32)
-    occ = (eqi * tril[None, :, :]).sum(axis=1)  # [B, W] occurrences up to j
+    # NEG-premask invalid windows: they never equal a valid code, and
+    # NEG-vs-NEG hits are filtered by the valid gate on candidates
+    wminm = jnp.where(valid, wmin, -1)
+    eq = wminm[:, :, None] == wminm[:, None, :]  # [B, i, j]
+    total = eq.sum(axis=1, dtype=jnp.int32)  # [B, W]
+    idx = jnp.arange(W, dtype=jnp.int32)
+    # last occurrence of each code: occ == total  <=>  lastmax == own index
+    lastmax = jnp.max(jnp.where(eq, idx[None, :, None], -1), axis=1)
     M = jnp.max(jnp.where(valid, total, 0), axis=1)  # [B]
-    cand = valid & (total == M[:, None]) & (occ == M[:, None]) & (M[:, None] > 0)
+    cand = (valid & (total == M[:, None]) & (lastmax == idx[None, :])
+            & (M[:, None] > 0))
     jstar = jnp.argmax(cand, axis=1)  # first True
-    code = jnp.take_along_axis(wmin, jstar[:, None], axis=1)[:, 0]
+    code = jnp.take_along_axis(wminm, jstar[:, None], axis=1)[:, 0]
     code = jnp.where(M > 0, code, -1)
+    return code, M
+
+
+def _modal_code_by_value(wmin: jnp.ndarray, valid: jnp.ndarray, k: int):
+    """Same contract as _modal_code, counting each possible code directly
+    (4^k columns instead of the O(W^2) pairwise tensor; used when 4^k < W)."""
+    B, W = wmin.shape
+    V = 1 << (2 * k)
+    wminm = jnp.where(valid, wmin, -1)
+    eq = wminm[:, :, None] == jnp.arange(V, dtype=wmin.dtype)[None, None, :]
+    tot = eq.sum(axis=1, dtype=jnp.int32)  # [B, V]
+    idx = jnp.arange(W, dtype=jnp.int32)
+    last = jnp.max(jnp.where(eq, idx[None, :, None], -1), axis=1)  # [B, V]
+    # winner = max count, ties -> earliest last occurrence (same tie-break
+    # as the pairwise form; equal (tot, last) across codes is impossible).
+    # int32 is ample: tot*(W+1) <= (L/2)*(L/2+1) << 2^31
+    score = tot * jnp.int32(W + 1) - last
+    score = jnp.where(tot > 0, score, jnp.int32(-1))
+    v = jnp.argmax(score, axis=1)
+    M = jnp.take_along_axis(tot, v[:, None], axis=1)[:, 0]
+    code = jnp.where(M > 0, v.astype(jnp.int32), -1)
     return code, M
 
 
@@ -144,7 +169,10 @@ def get_repeat_device(bases, lengths, thresh_early, thresh_prop):
     kmer_counts, exact_counts, kmer_ascii_by_k, kmer_code_by_k = [], [], [], []
     for k in KS:
         wmin, valid = _window_min_rotation(codes, lengths, k)
-        code, cnt = _modal_code(wmin, valid)
+        if (1 << (2 * k)) < wmin.shape[1]:
+            code, cnt = _modal_code_by_value(wmin, valid, k)
+        else:
+            code, cnt = _modal_code(wmin, valid)
         ka = _decode_ascii(code, k)
         ex = _exact_count(bases, lengths, ka, k)
         kmer_counts.append(cnt)
