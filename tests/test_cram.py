@@ -372,3 +372,17 @@ def test_core_codec_roundtrip(paths):
     write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"],
                slice_size=23, core_codecs=True)
     assert_same_records(paths["bam"], p, fasta=paths["fa"])
+
+
+def test_read_overhanging_chromosome_end(paths):
+    """Reference-based encode/decode of a read mapped past the chromosome
+    end (ref bases out of range behave as 'N' on both sides)."""
+    ref = paths["ref"]
+    end = len(ref["chr1"])
+    seq = ref["chr1"][end - 60:] + "ACGT" * 10  # 40bp past the end
+    recs = [BamRecord("edge", 0, 0, end - 60, 50, "100M", -1, -1, 0, seq)]
+    d = paths["dir"]
+    write_bam(str(d / "edge.bam"), HEADER, TARGETS, recs)
+    write_cram(str(d / "edge.cram"), HEADER, TARGETS, recs, fasta=paths["fa"])
+    assert_same_records(str(d / "edge.bam"), str(d / "edge.cram"),
+                        fasta=paths["fa"])
