@@ -32,6 +32,11 @@ def _load():
         _lib.sio_rans_decode.argtypes = [
             C.c_char_p, C.c_int64, np.ctypeslib.ndpointer(np.uint8), C.c_int64,
         ]
+        _lib.sio_rans_nx16_decode.restype = C.c_int64
+        _lib.sio_rans_nx16_decode.argtypes = [
+            C.c_char_p, C.c_int64, C.c_int64,
+            np.ctypeslib.ndpointer(np.uint8), C.c_int64,
+        ]
         _lib.sio_close.argtypes = [C.c_void_p]
         _lib.sio_nrefs.argtypes = [C.c_void_p]
         _lib.sio_ref_len.restype = C.c_int64

@@ -238,6 +238,274 @@ def rans_encode_o1(data: bytes) -> bytes:
     return bytes([1]) + struct.pack("<II", len(payload), n) + payload
 
 
+# ---------------------------------------------------------- rANS Nx16 (3.1)
+# Independent encoder for the CRAM 3.1 rANSNx16 codec (block method 5):
+# 16-bit-renormalised rANS, 4- or 32-way interleave, optional bit-pack / RLE /
+# stripe / cat transforms and compressed order-1 frequency tables. Exists to
+# round-trip-test the native decoder (io/csrc/cram.cc) against a second
+# implementation, mirroring the rans4x8 encoder above.
+
+NX16_LOW = 1 << 15
+NX16_ORDER1 = 1
+NX16_X32 = 4
+NX16_STRIPE = 8
+NX16_NOSZ = 16
+NX16_CAT = 32
+NX16_RLE = 64
+NX16_PACK = 128
+
+
+def _uint7(v: int) -> bytes:
+    """Big-endian base-128 varint (continuation in the high bit)."""
+    out = bytearray([v & 0x7F])
+    v >>= 7
+    while v:
+        out.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def _nx16_norm(F: list[int], bits: int) -> list[int]:
+    """Normalize a 256-bin histogram to sum exactly 1<<bits, zeros preserved."""
+    tot = sum(F)
+    want = 1 << bits
+    Fn = [0] * 256
+    for s in range(256):
+        if F[s]:
+            Fn[s] = max(1, F[s] * want // tot)
+    diff = want - sum(Fn)
+    order = sorted((s for s in range(256) if Fn[s]), key=lambda s: -Fn[s])
+    i = 0
+    while diff != 0:
+        s = order[i % len(order)]
+        step = 1 if diff > 0 else -1
+        if Fn[s] + step >= 1:
+            Fn[s] += step
+            diff -= step
+        i += 1
+    return Fn
+
+
+def _nx16_alphabet(syms: list[int]) -> bytes:
+    """Ascending symbol list with consecutive-run compression, 0-terminated."""
+    out = bytearray([syms[0]])
+    last = syms[0]
+    i = 1
+    while i < len(syms):
+        s = syms[i]
+        out.append(s)
+        if s == last + 1:
+            run = 0
+            while i + 1 + run < len(syms) and syms[i + 1 + run] == s + 1 + run:
+                run += 1
+            out.append(run)
+            last = s + run
+            i += 1 + run
+        else:
+            last = s
+            i += 1
+    out.append(0)
+    return bytes(out)
+
+
+class _Enc16:
+    """One rANS state with 16-bit renormalisation (shared reverse buffer)."""
+
+    __slots__ = ("x",)
+
+    def __init__(self):
+        self.x = NX16_LOW
+
+    def put(self, buf: bytearray, f: int, c: int, shift: int):
+        x = self.x
+        x_max = ((NX16_LOW >> shift) << 16) * f
+        while x >= x_max:
+            buf.append((x >> 8) & 0xFF)  # reversed later → little-endian u16
+            buf.append(x & 0xFF)
+            x >>= 16
+        self.x = ((x // f) << shift) + (x % f) + c
+
+    def flush(self, buf: bytearray):
+        x = self.x
+        for sh in (24, 16, 8, 0):
+            buf.append((x >> sh) & 0xFF)
+
+
+def _nx16_o0_bare(data: bytes, N: int) -> bytes:
+    """Bare order-0 stream: freq table + rANS payload (no flags/size)."""
+    F = [0] * 256
+    for c in data:
+        F[c] += 1
+    Fn = _nx16_norm(F, 12)
+    C = [0] * 257
+    for s in range(256):
+        C[s + 1] = C[s] + Fn[s]
+    syms = [s for s in range(256) if Fn[s]]
+    table = _nx16_alphabet(syms) + b"".join(_uint7(Fn[s]) for s in syms)
+    buf = bytearray()
+    R = [_Enc16() for _ in range(N)]
+    for i in range(len(data) - 1, -1, -1):  # reverse of decode order
+        s = data[i]
+        R[i % N].put(buf, Fn[s], C[s], 12)
+    for j in range(N - 1, -1, -1):
+        R[j].flush(buf)
+    return table + bytes(reversed(buf))
+
+
+def _nx16_o1_bare(data: bytes, N: int, comp_freqs: bool = False) -> bytes:
+    """Bare order-1 stream: output split into N contiguous fragments, state j
+    decoding fragment j from context 0; state N-1 also decodes the tail."""
+    n = len(data)
+    L = n // N
+    # (state, position) pairs in decoder consumption order
+    order = [(j, j * L + i) for i in range(L) for j in range(N)]
+    order += [(N - 1, p) for p in range(N * L, n)]
+
+    def ctx_of(j: int, p: int) -> int:
+        return 0 if p == j * L else data[p - 1]
+
+    F = [[0] * 256 for _ in range(256)]
+    for j, p in order:
+        F[ctx_of(j, p)][data[p]] += 1
+    shift = 12
+    A = sorted({0} | set(data))
+    Fn = [None] * 256
+    C = [None] * 256
+    for i in A:
+        if sum(F[i]) == 0:
+            continue  # in the alphabet but never used as context
+        Fn[i] = _nx16_norm(F[i], shift)
+        cc = [0] * 257
+        for s in range(256):
+            cc[s + 1] = cc[s] + Fn[i][s]
+        C[i] = cc
+    # serialize: shared alphabet, then one freq row per alphabet symbol with
+    # zero-run compression (a 0 freq is followed by a run count).
+    table = bytearray(_nx16_alphabet(A))
+    for i in A:
+        row = Fn[i] if Fn[i] is not None else [0] * 256
+        jj = 0
+        while jj < len(A):
+            f = row[A[jj]]
+            table += _uint7(f)
+            if f == 0:
+                run = 0
+                while (jj + 1 + run < len(A) and row[A[jj + 1 + run]] == 0
+                       and run < 255):
+                    run += 1
+                table.append(run)
+                jj += 1 + run
+            else:
+                jj += 1
+    if comp_freqs:
+        ctab = _nx16_o0_bare(bytes(table), 4)
+        head = bytes([(shift << 4) | 1]) + _uint7(len(table)) + \
+            _uint7(len(ctab)) + ctab
+    else:
+        head = bytes([shift << 4]) + bytes(table)
+    buf = bytearray()
+    R = [_Enc16() for _ in range(N)]
+    for j, p in reversed(order):
+        s = data[p]
+        c = ctx_of(j, p)
+        R[j].put(buf, Fn[c][s], C[c][s], shift)
+    for j in range(N - 1, -1, -1):
+        R[j].flush(buf)
+    return head + bytes(reversed(buf))
+
+
+def nx16_encode(data: bytes, order: int = 0, N: int = 4, pack: bool = False,
+                rle: bool = False, cat: bool = False, stripe: int = 0,
+                nosz: bool = False, comp_freqs: bool = False,
+                comp_rle_meta: bool = False) -> bytes:
+    """Full rANSNx16 stream (the bytes of one CRAM block payload)."""
+    flags = 0
+    if order:
+        flags |= NX16_ORDER1
+    if N == 32:
+        flags |= NX16_X32
+    if nosz:
+        flags |= NX16_NOSZ
+    if stripe:
+        out = bytearray([flags | NX16_STRIPE])
+        if not nosz:
+            out += _uint7(len(data))
+        subs = [nx16_encode(bytes(data[j::stripe]), order=order, N=N,
+                            nosz=False) for j in range(stripe)]
+        out.append(stripe)
+        for s in subs:
+            out += _uint7(len(s))
+        for s in subs:
+            out += s
+        return bytes(out)
+
+    out = bytearray()
+    cur = bytes(data)
+    pack_meta = b""
+    if pack:
+        syms = sorted(set(cur))
+        assert len(syms) <= 16, "pack needs <=16 distinct symbols"
+        flags |= NX16_PACK
+        pack_meta = bytes([len(syms)]) + bytes(syms)
+        if len(syms) <= 1:
+            cur = b""
+        else:
+            bits = 1 if len(syms) <= 2 else 2 if len(syms) <= 4 else 4
+            per = 8 // bits
+            idx = {s: k for k, s in enumerate(syms)}
+            packed = bytearray((len(cur) + per - 1) // per)
+            for i, c in enumerate(cur):
+                packed[i // per] |= idx[c] << (bits * (i % per))
+            cur = bytes(packed)
+        pack_meta += _uint7(len(cur))
+    rle_meta = b""
+    if rle:
+        flags |= NX16_RLE
+        run_syms = sorted({cur[i] for i in range(1, len(cur))
+                           if cur[i] == cur[i - 1]})
+        if not run_syms:
+            run_syms = [cur[0] if cur else 0]  # count byte 0 would mean 256
+        has_run = set(run_syms)
+        meta = bytearray([0 if len(run_syms) == 256 else len(run_syms)])
+        meta += bytes(run_syms)
+        lits = bytearray()
+        i = 0
+        while i < len(cur):
+            s = cur[i]
+            lits.append(s)
+            i += 1
+            if s in has_run:
+                run = 0
+                while i + run < len(cur) and cur[i + run] == s:
+                    run += 1
+                meta += _uint7(run)
+                i += run
+        rle_total = len(cur)
+        cur = bytes(lits)
+        if comp_rle_meta:
+            cmeta = _nx16_o0_bare(bytes(meta), 4)
+            rle_meta = _uint7(2 * len(meta)) + _uint7(len(cur)) + \
+                _uint7(len(cmeta)) + cmeta
+        else:
+            rle_meta = _uint7(2 * len(meta) + 1) + _uint7(len(cur)) + \
+                bytes(meta)
+        del rle_total
+    if cat or not cur:
+        flags |= NX16_CAT
+        body = cur
+    elif order:
+        body = _nx16_o1_bare(cur, N, comp_freqs)
+    else:
+        body = _nx16_o0_bare(cur, N)
+    out.append(flags)
+    if not nosz:
+        out += _uint7(len(data))
+    out += pack_meta
+    out += rle_meta
+    out += body
+    return bytes(out)
+
+
 class CoreBits:
     """MSB-first bit stream for the slice core block (BETA/GAMMA values)."""
 
@@ -304,6 +572,10 @@ def _ext_block(content_id: int, raw: bytes, method: str) -> bytes:
         return _block(4, 4, content_id, raw, rans_encode_o0(raw))
     if method == "rans1":
         return _block(4, 4, content_id, raw, rans_encode_o1(raw))
+    if method == "nx16_0":  # CRAM 3.1
+        return _block(5, 4, content_id, raw, nx16_encode(raw, order=0))
+    if method == "nx16_1":  # CRAM 3.1
+        return _block(5, 4, content_id, raw, nx16_encode(raw, order=1))
     raise ValueError(method)
 
 
@@ -466,10 +738,12 @@ def _mate_reconstruct_ok(a: BamRecord, b: BamRecord) -> bool:
 def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
                records: list[BamRecord], fasta=None, write_index: bool = True,
                slice_size: int = 4096, ap_delta: bool = True,
-               embed_ref: bool = False, core_codecs: bool = False):
+               embed_ref: bool = False, core_codecs: bool = False,
+               v31: bool = False):
     """Write a CRAM 3.0 (+ .crai). `fasta` is a path, a dict name->seq, or
     None (verbatim base encoding, RR=false). Records should be
-    coordinate-sorted for meaningful .crai queries."""
+    coordinate-sorted for meaningful .crai queries. With `v31`, writes a
+    CRAM 3.1 file whose external blocks use the rANSNx16 codec."""
     refs: dict[str, str] = {}
     if isinstance(fasta, dict):
         refs = {k: v.upper() for k, v in fasta.items()}
@@ -481,7 +755,8 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
     ref_based = fasta is not None
 
     out = open(path, "wb")
-    out.write(b"CRAM\x03\x00" + (path.encode() + b"\x00" * 20)[:20])
+    minor = b"\x01" if v31 else b"\x00"
+    out.write(b"CRAM\x03" + minor + (path.encode() + b"\x00" * 20)[:20])
     # SAM header container (one FILE_HEADER block)
     htext = header_text.encode()
     hblock = _block(0, 0, 0, struct.pack("<i", len(htext)) + htext)
@@ -506,7 +781,7 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
     for chunk in chunks:
         payload, ref_id, start, span, nbases, landmark, ssize = _container(
             chunk, refs, targets, ref_based, ap_delta, embed_ref, counter,
-            core_codecs)
+            core_codecs, v31)
         coff = out.tell()
         out.write(payload)
         counter += len(chunk)
@@ -540,7 +815,7 @@ def _cont_header(length: int, ref_id: int, start: int, span: int, n_rec: int,
 
 def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
                ap_delta: bool, embed_ref: bool, counter: int,
-               core_codecs: bool = False):
+               core_codecs: bool = False, v31: bool = False):
     tids = {r.tid for r in chunk}
     if len(tids) == 1:
         ref_id = chunk[0].tid
@@ -656,6 +931,9 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
     blocks += _block(0, 5, 0, core.blob())
     content_ids = []
     for key, (cid, method) in _SERIES.items():
+        if v31:  # CRAM 3.1: compress every external series with rANSNx16
+            method = {"rans0": "nx16_0", "rans1": "nx16_1",
+                      "gzip": "nx16_0"}.get(method, method)
         blocks += _ext_block(cid, bytes(st[key]), method)
         content_ids.append(cid)
     if embed_ref and ref_id >= 0 and ref_based:

@@ -5,10 +5,11 @@
 // ledger items 1-3): sequential record streaming, CRAI region queries, the
 // no-coor ("*") scan, and reference-based sequence reconstruction.
 //
-// Supported block codecs: raw, gzip, rANS4x8 (order 0 and 1).
+// Supported block codecs: raw, gzip, rANS4x8 (order 0 and 1), and the CRAM
+// 3.1 rANSNx16 codec (orders 0/1, 4- and 32-way, pack/RLE/stripe/cat).
 // Supported field encodings: EXTERNAL, HUFFMAN (canonical), BETA, GAMMA,
 // BYTE_ARRAY_LEN, BYTE_ARRAY_STOP.
-// CRAM 3.1-only codecs (rANSNx16, name tokeniser, fqzcomp, arithmetic) are
+// Remaining 3.1-only codecs (name tokeniser, fqzcomp, arithmetic) are
 // reported as errors — the reference's htslib 1.22 writes 3.0 by default.
 //
 // Exposed through the sio::Reader interface (strling_io.h) so the extract
@@ -53,6 +54,10 @@ struct Buf {
     raw(b, 4);
     return (uint32_t)b[0] | ((uint32_t)b[1] << 8) | ((uint32_t)b[2] << 16) |
            ((uint32_t)b[3] << 24);
+  }
+  uint32_t u16le() {
+    uint32_t lo = u8();
+    return lo | ((uint32_t)u8() << 8);
   }
   // ITF8: 1-5 bytes, leading-ones prefix; value reinterpreted as int32
   int32_t itf8() {
@@ -233,6 +238,320 @@ static bool rans_decode(const uint8_t* in, size_t in_sz,
   return false;
 }
 
+// -------------------------------------------------------------- rANS Nx16
+// CRAM 3.1 rANSNx16 codec (block method 5): 16-bit-renormalised rANS with 4-
+// or 32-way interleave plus the bit-pack / RLE / stripe / cat transforms, as
+// specified by the CRAM 3.1 codecs document (htscodecs rans_nx16 layout).
+// The reference tool only ever *writes* CRAM 3.0 via htslib, but 3.1 files
+// are valid inputs to it, so the native reader accepts them too.
+
+constexpr uint32_t NX16_LOW = 1u << 15;
+
+enum Nx16Flags {
+  NX16_ORDER1 = 1,
+  NX16_X32 = 4,
+  NX16_STRIPE = 8,
+  NX16_NOSZ = 16,
+  NX16_CAT = 32,
+  NX16_RLE = 64,
+  NX16_PACK = 128,
+};
+
+static uint32_t uint7(Buf& b) {
+  uint32_t v = 0;
+  for (int i = 0; i < 5; i++) {
+    uint8_t c = b.u8();
+    v = (v << 7) | (c & 0x7f);
+    if (!(c & 0x80)) break;
+  }
+  return v;
+}
+
+// Sorted-ascending symbol list with consecutive-run compression, terminated
+// by a 0 symbol (which can only legitimately appear first).
+static bool nx16_alphabet(Buf& b, int* A, int* nA) {
+  bool seen[256] = {false};
+  int rle = 0;
+  int sym = b.u8();
+  int last = sym;
+  do {
+    if (sym > 255) return false;
+    seen[sym] = true;
+    if (rle > 0) {
+      rle--;
+      sym++;
+    } else {
+      sym = b.u8();
+      if (sym == last + 1) rle = b.u8();
+    }
+    last = sym;
+  } while (sym != 0 && !b.fail);
+  if (b.fail) return false;
+  *nA = 0;
+  for (int s = 0; s < 256; s++)
+    if (seen[s]) A[(*nA)++] = s;
+  return true;
+}
+
+struct Nx16Tab {
+  uint32_t F[256];
+  uint32_t C[256];
+  uint8_t lookup[1 << 12];  // slot -> symbol; only the first 1<<shift used
+};
+
+// Shift-normalise stored frequencies up to exactly 1<<shift and build the
+// cumulative + slot-lookup tables. Stored sums are always a power-of-two
+// fraction of the table size (the encoder normalises to a power of two).
+static bool nx16_build_tab(const uint32_t* F, int shift, Nx16Tab* t) {
+  uint64_t tot = 0;
+  for (int s = 0; s < 256; s++) tot += F[s];
+  if (tot == 0 || tot > (1u << shift)) return false;
+  int sh = 0;
+  while ((tot << sh) < (1u << shift)) sh++;
+  if ((tot << sh) != (1u << shift)) return false;
+  uint32_t c = 0;
+  for (int s = 0; s < 256; s++) {
+    t->F[s] = F[s] << sh;
+    t->C[s] = c;
+    c += t->F[s];
+  }
+  for (int s = 0; s < 256; s++)
+    for (uint32_t i = 0; i < t->F[s]; i++) t->lookup[t->C[s] + i] = (uint8_t)s;
+  return true;
+}
+
+static bool nx16_o0_bare(Buf& b, uint32_t len, int N, uint8_t* out) {
+  int A[256], nA;
+  if (!nx16_alphabet(b, A, &nA)) return false;
+  uint32_t F[256] = {0};
+  for (int i = 0; i < nA; i++) F[A[i]] = uint7(b);
+  if (b.fail) return false;
+  auto t = std::make_unique<Nx16Tab>();
+  if (!nx16_build_tab(F, 12, t.get())) return false;
+  uint32_t R[32];
+  for (int j = 0; j < N; j++) R[j] = b.u32le();
+  if (b.fail) return false;
+  for (uint32_t i = 0; i < len; i++) {
+    uint32_t& x = R[i % N];
+    uint32_t m = x & 0xfff;
+    uint8_t s = t->lookup[m];
+    out[i] = s;
+    x = t->F[s] * (x >> 12) + m - t->C[s];
+    if (x < NX16_LOW) x = (x << 16) | b.u16le();
+  }
+  return !b.fail;
+}
+
+// Order-1: context = previous byte; the output is split into N contiguous
+// fragments of len/N bytes (state j decodes fragment j from context 0), and
+// state N-1 then continues through the len%N tail.
+static bool nx16_o1_bare(Buf& b, uint32_t len, int N, uint8_t* out) {
+  int comp = b.u8();
+  int shift = comp >> 4;
+  if (b.fail || shift < 1 || shift > 12) return false;
+  std::vector<uint8_t> ftab;
+  Buf fb;
+  if (comp & 1) {  // frequency table itself rANS-compressed (order-0, 4-way)
+    uint32_t usz = uint7(b);
+    uint32_t csz = uint7(b);
+    if (b.fail || usz > (1u << 24) || b.left() < csz) return false;
+    Buf cb(b.p, csz);
+    b.p += csz;
+    ftab.resize(usz);
+    if (usz == 0 || !nx16_o0_bare(cb, usz, 4, ftab.data())) return false;
+    fb = Buf(ftab.data(), ftab.size());
+  }
+  Buf& f = (comp & 1) ? fb : b;
+  int A[256], nA;
+  if (!nx16_alphabet(f, A, &nA)) return false;
+  std::vector<std::unique_ptr<Nx16Tab>> tabs(256);
+  for (int ii = 0; ii < nA; ii++) {
+    uint32_t F[256] = {0};
+    uint32_t run = 0;
+    for (int jj = 0; jj < nA; jj++) {
+      if (run > 0) {
+        run--;
+        continue;
+      }
+      F[A[jj]] = uint7(f);
+      if (F[A[jj]] == 0) run = f.u8();
+    }
+    if (f.fail) return false;
+    uint64_t tot = 0;
+    for (int s = 0; s < 256; s++) tot += F[s];
+    if (tot == 0) continue;  // in the alphabet but never used as context
+    tabs[A[ii]] = std::make_unique<Nx16Tab>();
+    if (!nx16_build_tab(F, shift, tabs[A[ii]].get())) return false;
+  }
+  uint32_t R[32];
+  for (int j = 0; j < N; j++) R[j] = b.u32le();
+  if (b.fail) return false;
+  uint32_t mask = (1u << shift) - 1;
+  uint32_t L = len / N;
+  uint32_t pos[32];
+  uint8_t last[32];
+  for (int j = 0; j < N; j++) {
+    pos[j] = (uint32_t)j * L;
+    last[j] = 0;
+  }
+  for (uint32_t i = 0; i < L; i++) {
+    for (int j = 0; j < N; j++) {
+      const Nx16Tab* t = tabs[last[j]].get();
+      if (!t) return false;
+      uint32_t& x = R[j];
+      uint32_t m = x & mask;
+      uint8_t s = t->lookup[m];
+      out[pos[j]++] = s;
+      x = t->F[s] * (x >> shift) + m - t->C[s];
+      if (x < NX16_LOW) x = (x << 16) | b.u16le();
+      last[j] = s;
+    }
+  }
+  for (uint32_t i = (uint32_t)N * L; i < len; i++) {
+    const Nx16Tab* t = tabs[last[N - 1]].get();
+    if (!t) return false;
+    uint32_t& x = R[N - 1];
+    uint32_t m = x & mask;
+    uint8_t s = t->lookup[m];
+    out[i] = s;
+    x = t->F[s] * (x >> shift) + m - t->C[s];
+    if (x < NX16_LOW) x = (x << 16) | b.u16le();
+    last[N - 1] = s;
+  }
+  return !b.fail;
+}
+
+static bool nx16_decode_buf(Buf& b, uint32_t len, std::vector<uint8_t>* out,
+                            int depth);
+
+// Byte-interleave transform: stream j holds output positions j, j+X, j+2X...
+// with each sub-stream independently rANSNx16-compressed.
+static bool nx16_stripe(Buf& b, uint32_t len, std::vector<uint8_t>* out,
+                        int depth) {
+  int X = b.u8();
+  if (b.fail || X <= 0) return false;
+  std::vector<uint32_t> clen(X);
+  for (int j = 0; j < X; j++) clen[j] = uint7(b);
+  if (b.fail) return false;
+  out->assign(len, 0);
+  for (int j = 0; j < X; j++) {
+    uint32_t ulen = len / X + (len % X > (uint32_t)j ? 1 : 0);
+    if (b.left() < clen[j]) return false;
+    Buf sb(b.p, clen[j]);
+    b.p += clen[j];
+    std::vector<uint8_t> t;
+    if (!nx16_decode_buf(sb, ulen, &t, depth + 1)) return false;
+    if (t.size() != ulen) return false;
+    for (uint32_t i = 0; i < ulen; i++) (*out)[(uint64_t)i * X + j] = t[i];
+  }
+  return true;
+}
+
+static bool nx16_decode_buf(Buf& b, uint32_t len, std::vector<uint8_t>* out,
+                            int depth) {
+  if (depth > 3) return false;
+  int flags = b.u8();
+  if (b.fail) return false;
+  if (!(flags & NX16_NOSZ)) len = uint7(b);
+  if (b.fail || len > (1u << 28)) return false;
+  int N = (flags & NX16_X32) ? 32 : 4;
+  if (flags & NX16_STRIPE) return nx16_stripe(b, len, out, depth);
+
+  // PACK meta: up to 16 symbols, packed 8/4/2 values per byte.
+  uint32_t unpack_len = len;
+  int nsym = -1;
+  uint8_t P[16] = {0};
+  if (flags & NX16_PACK) {
+    nsym = b.u8();
+    if (b.fail || nsym > 16) return false;
+    for (int i = 0; i < nsym; i++) P[i] = b.u8();
+    len = uint7(b);
+    if (b.fail || len > (1u << 28)) return false;
+  }
+  // RLE meta: which symbols carry runs + a uint7 run-length stream (itself
+  // optionally order-0 compressed).
+  uint32_t rle_len = 0;
+  std::vector<uint8_t> rle_meta_store;
+  Buf rm;
+  bool do_rle = (flags & NX16_RLE) != 0;
+  if (do_rle) {
+    uint32_t m = uint7(b);
+    rle_len = len;
+    len = uint7(b);
+    uint32_t meta_sz = m >> 1;
+    if (b.fail || meta_sz > (1u << 24) || len > (1u << 28)) return false;
+    if (m & 1) {  // raw metadata
+      if (b.left() < meta_sz) return false;
+      rm = Buf(b.p, meta_sz);
+      b.p += meta_sz;
+    } else {  // order-0 compressed metadata
+      uint32_t csz = uint7(b);
+      if (b.fail || b.left() < csz) return false;
+      Buf cb(b.p, csz);
+      b.p += csz;
+      rle_meta_store.resize(meta_sz);
+      if (meta_sz == 0 || !nx16_o0_bare(cb, meta_sz, 4, rle_meta_store.data()))
+        return false;
+      rm = Buf(rle_meta_store.data(), meta_sz);
+    }
+  }
+  std::vector<uint8_t> lit(len);
+  if (flags & NX16_CAT) {
+    if (!b.raw(lit.data(), len)) return false;
+  } else if (len > 0) {
+    bool ok = (flags & NX16_ORDER1) ? nx16_o1_bare(b, len, N, lit.data())
+                                    : nx16_o0_bare(b, len, N, lit.data());
+    if (!ok) return false;
+  }
+  if (do_rle) {
+    std::vector<uint8_t> ex;
+    ex.reserve(rle_len);
+    bool has_run[256] = {false};
+    int n = rm.u8();
+    if (n == 0) n = 256;
+    for (int i = 0; i < n; i++) has_run[rm.u8()] = true;
+    if (rm.fail) return false;
+    for (uint32_t i = 0; i < len; i++) {
+      uint8_t s = lit[i];
+      if (ex.size() >= rle_len) return false;
+      ex.push_back(s);
+      if (has_run[s]) {
+        uint32_t run = uint7(rm);
+        if (rm.fail || ex.size() + run > rle_len) return false;
+        ex.insert(ex.end(), run, s);
+      }
+    }
+    if (ex.size() != rle_len) return false;
+    lit.swap(ex);
+    len = rle_len;
+  }
+  if (flags & NX16_PACK) {
+    std::vector<uint8_t> up(unpack_len);
+    if (nsym <= 0 && unpack_len > 0) return false;
+    if (nsym <= 1) {
+      for (uint32_t i = 0; i < unpack_len; i++) up[i] = P[0];
+    } else {
+      int bits = nsym <= 2 ? 1 : nsym <= 4 ? 2 : 4;
+      int per = 8 / bits;
+      uint32_t msk = (1u << bits) - 1;
+      if ((uint64_t)len * per < unpack_len) return false;
+      for (uint32_t i = 0; i < unpack_len; i++) {
+        uint32_t v = lit[i / per] >> (bits * (i % per));
+        up[i] = P[v & msk];
+      }
+    }
+    lit.swap(up);
+  }
+  out->swap(lit);
+  return true;
+}
+
+static bool rans_nx16_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
+                             std::vector<uint8_t>* out) {
+  Buf b(in, in_sz);
+  return nx16_decode_buf(b, usize, out, 0);
+}
+
 // ------------------------------------------------------------------- codecs
 
 static bool gunzip(const uint8_t* in, size_t in_sz, size_t out_sz,
@@ -320,6 +639,12 @@ static bool read_block(Buf& b, Block* blk, std::string* err) {
     case 4:  // rANS 4x8
       if (!rans_decode(cdata, csize, &blk->data)) {
         *err = "CRAM rANS block decode failed";
+        return false;
+      }
+      break;
+    case 5:  // rANS Nx16 (CRAM 3.1)
+      if (!rans_nx16_decode(cdata, csize, usize, &blk->data)) {
+        *err = "CRAM rANSNx16 block decode failed";
         return false;
       }
       break;
@@ -1711,6 +2036,17 @@ Reader* open_cram(const char* path) {
 }  // namespace sio
 
 // test hook: decode one rANS4x8 stream (order 0/1); returns output size or -1
+// test hook: decode one rANSNx16 stream; returns output size or -1
+extern "C" int64_t sio_rans_nx16_decode(const uint8_t* in, int64_t in_sz,
+                                        int64_t usize, uint8_t* out,
+                                        int64_t out_cap) {
+  std::vector<uint8_t> o;
+  if (!rans_nx16_decode(in, (size_t)in_sz, (uint32_t)usize, &o)) return -1;
+  if ((int64_t)o.size() > out_cap) return -1;
+  memcpy(out, o.data(), o.size());
+  return (int64_t)o.size();
+}
+
 extern "C" int64_t sio_rans_decode(const uint8_t* in, int64_t in_sz,
                                    uint8_t* out, int64_t out_cap) {
   std::vector<uint8_t> o;

@@ -386,3 +386,103 @@ def test_read_overhanging_chromosome_end(paths):
     write_cram(str(d / "edge.cram"), HEADER, TARGETS, recs, fasta=paths["fa"])
     assert_same_records(str(d / "edge.bam"), str(d / "edge.cram"),
                         fasta=paths["fa"])
+
+
+# ------------------------------------------------------- rANS Nx16 (CRAM 3.1)
+
+
+def native_nx16_decode(blob: bytes, out_sz: int) -> bytes:
+    lib = _load()
+    out = np.zeros(max(out_sz, 1), np.uint8)
+    n = lib.sio_rans_nx16_decode(blob, len(blob), out_sz, out, len(out))
+    assert n == out_sz, f"rANSNx16 decode returned {n}, want {out_sz}"
+    return bytes(out[:out_sz])
+
+
+def nx16_cases():
+    rng = random.Random(31)
+    return [
+        b"",
+        b"\x00",
+        b"a",
+        b"abc",
+        b"\x00" * 1000,                                   # single symbol
+        b"ACGTACGTACGT" * 100,                            # tiny alphabet
+        bytes(range(256)) * 5,                            # full alphabet
+        bytes(rng.randrange(256) for _ in range(10007)),  # incompressible
+        bytes(rng.choice(b"ACGTN") for _ in range(4097)), # seq-like, odd len
+        bytes(rng.choice(b"!#$%&'()*+,-.") for _ in range(3000)),  # qual-like
+        b"AAAAABBBCCCCCCCCD" * 200,                       # heavy runs
+        bytes(rng.choice(b"\x00\x01") for _ in range(777)),
+    ]
+
+
+NX16_CONFIGS = [
+    dict(order=0),
+    dict(order=1),
+    dict(order=0, N=32),
+    dict(order=1, N=32),
+    dict(order=0, nosz=True),
+    dict(order=1, comp_freqs=True),
+    dict(cat=True),
+    dict(order=0, rle=True),
+    dict(order=1, rle=True, comp_rle_meta=True),
+    dict(order=0, stripe=4),
+    dict(order=1, stripe=3),
+]
+
+
+@pytest.mark.parametrize("ci", range(len(NX16_CONFIGS)))
+@pytest.mark.parametrize("di", range(len(nx16_cases())))
+def test_nx16_roundtrip(ci, di):
+    from strling_tpu.io.cramwrite import nx16_encode
+
+    data = nx16_cases()[di]
+    cfg = NX16_CONFIGS[ci]
+    blob = nx16_encode(data, **cfg)
+    assert native_nx16_decode(blob, len(data)) == data
+
+
+@pytest.mark.parametrize("di", range(len(nx16_cases())))
+def test_nx16_pack_roundtrip(di):
+    from strling_tpu.io.cramwrite import nx16_encode
+
+    data = nx16_cases()[di]
+    if len(set(data)) > 16:
+        pytest.skip("pack needs <=16 distinct symbols")
+    for cfg in (dict(order=0, pack=True), dict(order=1, pack=True),
+                dict(order=0, pack=True, rle=True)):
+        blob = nx16_encode(data, **cfg)
+        assert native_nx16_decode(blob, len(data)) == data
+
+
+def test_nx16_fuzz_no_crash():
+    """Bit-flipped and truncated Nx16 streams must fail cleanly or produce
+    output of the right size -- never crash."""
+    from strling_tpu.io.cramwrite import nx16_encode
+
+    rng = random.Random(99)
+    data = bytes(rng.choice(b"ACGT") for _ in range(2000))
+    lib = _load()
+    for cfg in NX16_CONFIGS:
+        blob = bytearray(nx16_encode(data, **cfg))
+        for _ in range(200):
+            mutated = bytearray(blob)
+            k = rng.randrange(len(mutated))
+            mutated[k] ^= 1 << rng.randrange(8)
+            cut = rng.randrange(len(mutated) + 1)
+            for trial in (bytes(mutated), bytes(blob[:cut])):
+                out = np.zeros(len(data) + 1, np.uint8)
+                lib.sio_rans_nx16_decode(trial, len(trial), len(data),
+                                         out, len(out))
+
+
+def test_cram31_roundtrip(paths):
+    """CRAM 3.1 file (rANSNx16-compressed external blocks) decodes to the
+    same records as the BAM."""
+    p = str(paths["dir"] / "v31.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"],
+               slice_size=43, v31=True)
+    with open(p, "rb") as f:
+        assert f.read(6) == b"CRAM\x03\x01"
+    assert_same_records(paths["bam"], p, fasta=paths["fa"])
