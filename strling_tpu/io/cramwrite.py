@@ -506,6 +506,120 @@ def nx16_encode(data: bytes, order: int = 0, N: int = 4, pack: bool = False,
     return bytes(out)
 
 
+# ------------------------------------------------------ name tokeniser (3.1)
+# Independent encoder for the CRAM 3.1 name tokeniser ("tok3", block method
+# 8), to round-trip-test the native decoder. Token streams are compressed
+# with rANSNx16 (use_arith is never set).
+
+(TOK_TYPE, TOK_STRING, TOK_CHAR, TOK_DIGITS0, TOK_DZLEN, TOK_DUP, TOK_DIFF,
+ TOK_DIGITS, TOK_DELTA, TOK_DELTA0, TOK_MATCH, TOK_NOP, TOK_END) = range(13)
+
+
+def _tok_split(name: str) -> list[tuple[str, str]]:
+    """Split a read name into (kind, text) tokens: d=digits, d0=zero-padded
+    digits, s=alpha string, c=single other char."""
+    toks = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c.isdigit():
+            j = i
+            while j < len(name) and name[j].isdigit():
+                j += 1
+            s = name[i:j]
+            if len(s) <= 9 and s[0] != "0":
+                toks.append(("d", s))
+            elif len(s) <= 9:
+                toks.append(("d0", s))
+            else:
+                toks.append(("s", s))
+            i = j
+        elif c.isalpha():
+            j = i
+            while j < len(name) and name[j].isalpha():
+                j += 1
+            toks.append(("s", name[i:j]))
+            i = j
+        else:
+            toks.append(("c", c))
+            i += 1
+    return toks
+
+
+def tok3_encode(blob: bytes) -> bytes:
+    """Encode a NUL-separated name blob (the RN block content) as tok3."""
+    assert blob.endswith(b"\x00") or not blob
+    names = blob.decode().split("\x00")[:-1] if blob else []
+    streams: dict[tuple[int, int], bytearray] = {}
+
+    def S(pos: int, typ: int) -> bytearray:
+        return streams.setdefault((pos, typ), bytearray())
+
+    toks_list: list[list[tuple[str, str]]] = []
+    for i, name in enumerate(names):
+        if i > 0 and names[i - 1] == name:
+            S(0, TOK_TYPE).append(TOK_DUP)
+            S(0, TOK_DUP).extend(struct.pack("<I", 1))
+            toks_list.append(toks_list[i - 1])
+            continue
+        S(0, TOK_TYPE).append(TOK_DIFF)
+        S(0, TOK_DIFF).extend(struct.pack("<I", 1 if i > 0 else 0))
+        toks = _tok_split(name)
+        ref = toks_list[i - 1] if i > 0 else []
+        for pos, (kind, text) in enumerate(toks, start=1):
+            rt = ref[pos - 1] if pos - 1 < len(ref) else None
+            if rt == (kind, text):
+                S(pos, TOK_TYPE).append(TOK_MATCH)
+                continue
+            if rt is not None and kind in ("d", "d0") and rt[0] == kind \
+                    and (kind == "d" or len(text) == len(rt[1])):
+                delta = int(text) - int(rt[1])
+                if 0 <= delta <= 255:
+                    typ = TOK_DELTA if kind == "d" else TOK_DELTA0
+                    S(pos, TOK_TYPE).append(typ)
+                    S(pos, typ).append(delta)
+                    continue
+            if kind == "d":
+                S(pos, TOK_TYPE).append(TOK_DIGITS)
+                S(pos, TOK_DIGITS).extend(struct.pack("<I", int(text)))
+            elif kind == "d0":
+                S(pos, TOK_TYPE).append(TOK_DIGITS0)
+                S(pos, TOK_DIGITS0).extend(struct.pack("<I", int(text)))
+                S(pos, TOK_DZLEN).append(len(text))
+            elif kind == "c":
+                S(pos, TOK_TYPE).append(TOK_CHAR)
+                S(pos, TOK_CHAR).extend(text.encode())
+            else:
+                S(pos, TOK_TYPE).append(TOK_STRING)
+                S(pos, TOK_STRING).extend(text.encode() + b"\x00")
+        S(len(toks) + 1, TOK_TYPE).append(TOK_END)
+        toks_list.append(toks)
+
+    out = bytearray(struct.pack("<II", len(blob), len(names)))
+    out.append(0)  # use_arith = 0: rANSNx16-compressed streams
+    max_pos = max((p for p, _ in streams), default=-1)
+    emitted: dict[bytes, tuple[int, int]] = {}
+    for pos in range(max_pos + 1):
+        first = True
+        for typ in range(13):
+            if (pos, typ) not in streams:
+                continue
+            data = bytes(streams[(pos, typ)])
+            flag = typ | (0x80 if first else 0)
+            first = False
+            prior = emitted.get(data)
+            if prior is not None and prior[0] <= 255:
+                out.append(flag | 0x40)  # duplicate-stream reference
+                out.append(prior[0])
+                out.append(prior[1])
+                continue
+            emitted.setdefault(data, (pos, typ))
+            comp = nx16_encode(data, order=0)
+            out.append(flag)
+            out += _uint7(len(comp)) + comp
+    return bytes(out)
+
+
 class CoreBits:
     """MSB-first bit stream for the slice core block (BETA/GAMMA values)."""
 
@@ -576,6 +690,8 @@ def _ext_block(content_id: int, raw: bytes, method: str) -> bytes:
         return _block(5, 4, content_id, raw, nx16_encode(raw, order=0))
     if method == "nx16_1":  # CRAM 3.1
         return _block(5, 4, content_id, raw, nx16_encode(raw, order=1))
+    if method == "tok3":  # CRAM 3.1 name tokeniser
+        return _block(8, 4, content_id, raw, tok3_encode(raw))
     raise ValueError(method)
 
 
@@ -610,7 +726,8 @@ def _enc_byte_array_len(len_cid: int, val_cid: int) -> bytes:
     return itf8(4) + itf8(len(p)) + p
 
 
-def _comp_header(ref_based: bool, ap_delta: bool, core_codecs: bool = False) -> bytes:
+def _comp_header(ref_based: bool, ap_delta: bool, core_codecs: bool = False,
+                 v31: bool = False) -> bytes:
     # preservation map
     pres = bytearray()
     entries = [
@@ -626,7 +743,8 @@ def _comp_header(ref_based: bool, ap_delta: bool, core_codecs: bool = False) -> 
     # data series encodings
     S = _SERIES
     enc = {
-        "RN": _enc_byte_array_stop(0x09, S["RN"][0]),
+        # 3.1: NUL-separated names (the tok3 blob layout); 3.0: tab stop
+        "RN": _enc_byte_array_stop(0x00 if v31 else 0x09, S["RN"][0]),
         "BB": _enc_byte_array_len(S["BBL"][0], S["BB"][0]),
         "IN": _enc_byte_array_stop(0x00, S["IN"][0]),
         "SC": _enc_byte_array_stop(0x00, S["SC"][0]),
@@ -884,7 +1002,7 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
         else:
             st["AP"] += itf8(ap)
         st["RG"] += itf8(-1)
-        st["RN"] += r.qname.encode() + b"\x09"
+        st["RN"] += r.qname.encode() + (b"\x00" if v31 else b"\x09")
         if cf & 0x2:
             mf = (1 if r.flag & 0x20 else 0) | (2 if r.flag & 0x8 else 0)
             st["MF"] += itf8(mf)
@@ -931,9 +1049,11 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
     blocks += _block(0, 5, 0, core.blob())
     content_ids = []
     for key, (cid, method) in _SERIES.items():
-        if v31:  # CRAM 3.1: compress every external series with rANSNx16
+        if v31:  # CRAM 3.1: rANSNx16 everywhere, tok3 for read names
             method = {"rans0": "nx16_0", "rans1": "nx16_1",
                       "gzip": "nx16_0"}.get(method, method)
+            if key == "RN":
+                method = "tok3"
         blocks += _ext_block(cid, bytes(st[key]), method)
         content_ids.append(cid)
     if embed_ref and ref_id >= 0 and ref_based:
@@ -950,7 +1070,7 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
     shdr += b"\x00" * 16  # md5 (not verified)
     slice_hdr_block = _block(0, 2, 0, shdr)
 
-    comp = _comp_header(ref_based, ap_delta, core_codecs)
+    comp = _comp_header(ref_based, ap_delta, core_codecs, v31)
     payload = comp + slice_hdr_block + bytes(blocks)
     landmark = len(comp)
     ssize = len(slice_hdr_block) + len(blocks)

@@ -552,6 +552,206 @@ static bool rans_nx16_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
   return nx16_decode_buf(b, usize, out, 0);
 }
 
+// --------------------------------------------------------- name tokeniser
+// CRAM 3.1 name tokeniser ("tok3", block method 8): read names are split
+// into per-position token streams (string/char/digit/delta/match/...), each
+// stream rANSNx16-compressed. htslib compresses the RN series this way by
+// default when writing CRAM 3.1, and qnames drive mate pairing in extract
+// (reference extract.nim:89-91), so 3.1 inputs need it.
+// Arithmetic-coded token streams (use_arith=1) are not supported yet.
+
+enum TokType {
+  TOK_TYPE = 0,
+  TOK_STRING = 1,
+  TOK_CHAR = 2,
+  TOK_DIGITS0 = 3,
+  TOK_DZLEN = 4,
+  TOK_DUP = 5,
+  TOK_DIFF = 6,
+  TOK_DIGITS = 7,
+  TOK_DELTA = 8,
+  TOK_DELTA0 = 9,
+  TOK_MATCH = 10,
+  TOK_NOP = 11,
+  TOK_END = 12,
+  TOK_NTYPES = 13,
+};
+
+constexpr int TOK_MAX_POS = 1024;  // token positions per name (spec: small)
+
+struct TokToken {  // one decoded token, kept so later names can MATCH/DELTA
+  uint8_t type = TOK_END;
+  uint32_t val = 0;
+  uint8_t len = 0;
+  std::string s;
+};
+
+static bool tok3_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
+                        std::vector<uint8_t>* out) {
+  Buf b(in, in_sz);
+  uint32_t ulen = b.u32le();
+  uint32_t nnames = b.u32le();
+  int use_arith = b.u8();
+  if (b.fail || ulen != usize || nnames > (1u << 26)) return false;
+  if (use_arith) return false;  // arithmetic coder not implemented
+
+  // token streams: B[t][type] bytes + an independent read cursor each
+  std::vector<std::array<std::shared_ptr<std::vector<uint8_t>>, TOK_NTYPES>>
+      streams;
+  int t = -1;
+  while (b.left() > 0) {
+    uint8_t ttype = b.u8();
+    int type = ttype & 0x3f;
+    if (type >= TOK_NTYPES) return false;
+    if (ttype & 0x80) t++;
+    if (t < 0 || t >= TOK_MAX_POS) return false;
+    if ((int)streams.size() <= t) streams.resize(t + 1);
+    if (ttype & 0x40) {  // duplicate of an earlier stream
+      int dp = b.u8();
+      int dt = b.u8();
+      if (b.fail || dp > t || dt >= TOK_NTYPES || !streams[dp][dt])
+        return false;
+      streams[t][type] = streams[dp][dt];
+    } else {
+      uint32_t clen = uint7(b);
+      if (b.fail || b.left() < clen) return false;
+      auto data = std::make_shared<std::vector<uint8_t>>();
+      if (!rans_nx16_decode(b.p, clen, 0, data.get())) return false;
+      b.p += clen;
+      streams[t][type] = data;
+    }
+  }
+  std::vector<std::array<Buf, TOK_NTYPES>> cur(streams.size());
+  for (size_t i = 0; i < streams.size(); i++)
+    for (int k = 0; k < TOK_NTYPES; k++)
+      if (streams[i][k]) cur[i][k] = Buf(streams[i][k]->data(),
+                                         streams[i][k]->size());
+  auto get = [&](int pos, int type) -> Buf* {
+    if (pos >= (int)cur.size() || !streams[pos][type]) return nullptr;
+    return &cur[pos][type];
+  };
+
+  std::vector<std::vector<TokToken>> toks(nnames);
+  out->clear();
+  out->reserve(ulen);
+  char numbuf[16];
+  for (uint32_t i = 0; i < nnames; i++) {
+    Buf* ty0 = get(0, TOK_TYPE);
+    if (!ty0) return false;
+    int t0 = ty0->u8();
+    if (ty0->fail) return false;
+    uint32_t dist = 0;
+    if (t0 == TOK_DUP || t0 == TOK_DIFF) {
+      Buf* d = get(0, t0);
+      if (!d) return false;
+      dist = d->u32le();
+      if (d->fail || dist > i) return false;
+    } else {
+      return false;
+    }
+    uint32_t ref = i - dist;  // name to duplicate / diff against
+    if (t0 == TOK_DUP) {
+      if (ref == i) return false;
+      toks[i] = toks[ref];
+      for (const TokToken& tk : toks[i])
+        out->insert(out->end(), tk.s.begin(), tk.s.end());
+      out->push_back(0);
+      continue;
+    }
+    const std::vector<TokToken>* prev =
+        (ref != i) ? &toks[ref] : nullptr;  // dist=0 on the first name
+    for (int pos = 1; pos < TOK_MAX_POS; pos++) {
+      Buf* ty = get(pos, TOK_TYPE);
+      if (!ty) return false;
+      int type = ty->u8();
+      if (ty->fail) return false;
+      TokToken tk;
+      tk.type = (uint8_t)type;
+      const TokToken* ptk =
+          (prev && pos - 1 < (int)prev->size()) ? &(*prev)[pos - 1] : nullptr;
+      switch (type) {
+        case TOK_CHAR: {
+          Buf* s = get(pos, TOK_CHAR);
+          if (!s) return false;
+          tk.s.push_back((char)s->u8());
+          if (s->fail) return false;
+          break;
+        }
+        case TOK_STRING: {
+          Buf* s = get(pos, TOK_STRING);
+          if (!s) return false;
+          for (;;) {
+            uint8_t c = s->u8();
+            if (s->fail) return false;
+            if (c == 0) break;
+            tk.s.push_back((char)c);
+          }
+          break;
+        }
+        case TOK_DIGITS: {
+          Buf* s = get(pos, TOK_DIGITS);
+          if (!s) return false;
+          tk.val = s->u32le();
+          if (s->fail) return false;
+          tk.s.assign(numbuf, snprintf(numbuf, sizeof numbuf, "%u", tk.val));
+          break;
+        }
+        case TOK_DIGITS0: {
+          Buf* s = get(pos, TOK_DIGITS0);
+          Buf* l = get(pos, TOK_DZLEN);
+          if (!s || !l) return false;
+          tk.val = s->u32le();
+          tk.len = l->u8();
+          if (s->fail || l->fail || tk.len > 10) return false;
+          tk.s.assign(numbuf,
+                      snprintf(numbuf, sizeof numbuf, "%0*u", tk.len, tk.val));
+          break;
+        }
+        case TOK_DELTA:
+        case TOK_DELTA0: {
+          Buf* s = get(pos, type);
+          if (!s || !ptk) return false;
+          tk.val = ptk->val + s->u8();
+          if (s->fail) return false;
+          if (type == TOK_DELTA) {
+            tk.type = TOK_DIGITS;
+            tk.s.assign(numbuf, snprintf(numbuf, sizeof numbuf, "%u", tk.val));
+          } else {
+            tk.type = TOK_DIGITS0;
+            tk.len = ptk->len;
+            if (tk.len > 10) return false;
+            tk.s.assign(
+                numbuf, snprintf(numbuf, sizeof numbuf, "%0*u", tk.len, tk.val));
+          }
+          break;
+        }
+        case TOK_MATCH:
+          if (!ptk) return false;
+          tk = *ptk;
+          break;
+        case TOK_NOP:
+          break;
+        case TOK_END:
+          break;
+        default:
+          return false;
+      }
+      if (type == TOK_END) break;
+      if (type != TOK_NOP) {
+        toks[i].push_back(std::move(tk));
+        const TokToken& back = toks[i].back();
+        out->insert(out->end(), back.s.begin(), back.s.end());
+      } else {
+        toks[i].push_back(std::move(tk));
+      }
+      if (out->size() > ulen) return false;
+    }
+    out->push_back(0);
+    if (out->size() > ulen) return false;
+  }
+  return out->size() == ulen;
+}
+
 // ------------------------------------------------------------------- codecs
 
 static bool gunzip(const uint8_t* in, size_t in_sz, size_t out_sz,
@@ -645,6 +845,12 @@ static bool read_block(Buf& b, Block* blk, std::string* err) {
     case 5:  // rANS Nx16 (CRAM 3.1)
       if (!rans_nx16_decode(cdata, csize, usize, &blk->data)) {
         *err = "CRAM rANSNx16 block decode failed";
+        return false;
+      }
+      break;
+    case 8:  // name tokeniser (CRAM 3.1)
+      if (!tok3_decode(cdata, csize, usize, &blk->data)) {
+        *err = "CRAM name-tokeniser block decode failed";
         return false;
       }
       break;
@@ -2042,6 +2248,17 @@ extern "C" int64_t sio_rans_nx16_decode(const uint8_t* in, int64_t in_sz,
                                         int64_t out_cap) {
   std::vector<uint8_t> o;
   if (!rans_nx16_decode(in, (size_t)in_sz, (uint32_t)usize, &o)) return -1;
+  if ((int64_t)o.size() > out_cap) return -1;
+  memcpy(out, o.data(), o.size());
+  return (int64_t)o.size();
+}
+
+// test hook: decode one name-tokeniser (tok3) blob; returns size or -1
+extern "C" int64_t sio_tok3_decode(const uint8_t* in, int64_t in_sz,
+                                   int64_t usize, uint8_t* out,
+                                   int64_t out_cap) {
+  std::vector<uint8_t> o;
+  if (!tok3_decode(in, (size_t)in_sz, (uint32_t)usize, &o)) return -1;
   if ((int64_t)o.size() > out_cap) return -1;
   memcpy(out, o.data(), o.size());
   return (int64_t)o.size();

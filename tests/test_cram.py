@@ -486,3 +486,58 @@ def test_cram31_roundtrip(paths):
     with open(p, "rb") as f:
         assert f.read(6) == b"CRAM\x03\x01"
     assert_same_records(paths["bam"], p, fasta=paths["fa"])
+
+
+# ------------------------------------------------------ name tokeniser (3.1)
+
+
+def tok3_name_cases():
+    rng = random.Random(17)
+    illumina = [f"A00111:74:H12JKDSXX:1:{l}:{x}:{y}"
+                for l in range(1101, 1109)
+                for x, y in [(rng.randrange(40000), rng.randrange(40000))]]
+    sra = [f"SRR1301923.{i}" for i in range(1, 40)]
+    padded = [f"read{i:06d}/1" for i in range(990, 1030)]
+    weird = ["a", "1", "0", "x" * 300, "007", "n-1_2.3#4",
+             "q" + "9" * 12, "", "dup", "dup", "dup"]
+    mixed = []
+    for i in range(200):
+        mixed.append(rng.choice([
+            f"m{i}", f"m{i:04d}", f"pair:{i}:{i*7}", "same", str(2**31 + i)]))
+    return [illumina, sra, padded, weird, mixed, [], ["solo"]]
+
+
+def native_tok3_decode(blob: bytes, out_sz: int) -> bytes:
+    lib = _load()
+    out = np.zeros(max(out_sz, 1), np.uint8)
+    n = lib.sio_tok3_decode(blob, len(blob), out_sz, out, len(out))
+    assert n == out_sz, f"tok3 decode returned {n}, want {out_sz}"
+    return bytes(out[:out_sz])
+
+
+@pytest.mark.parametrize("i", range(len(tok3_name_cases())))
+def test_tok3_roundtrip(i):
+    from strling_tpu.io.cramwrite import tok3_encode
+
+    names = tok3_name_cases()[i]
+    blob = b"".join(n.encode() + b"\x00" for n in names)
+    enc = tok3_encode(blob)
+    assert native_tok3_decode(enc, len(blob)) == blob
+
+
+def test_tok3_fuzz_no_crash():
+    from strling_tpu.io.cramwrite import tok3_encode
+
+    rng = random.Random(4)
+    names = [f"A1:2:{i}:{i*3}" for i in range(500)]
+    blob = b"".join(n.encode() + b"\x00" for n in names)
+    enc = bytearray(tok3_encode(blob))
+    lib = _load()
+    for _ in range(300):
+        mutated = bytearray(enc)
+        k = rng.randrange(len(mutated))
+        mutated[k] ^= 1 << rng.randrange(8)
+        cut = rng.randrange(len(mutated) + 1)
+        for trial in (bytes(mutated), bytes(enc[:cut])):
+            out = np.zeros(len(blob) + 1, np.uint8)
+            lib.sio_tok3_decode(trial, len(trial), len(blob), out, len(out))
