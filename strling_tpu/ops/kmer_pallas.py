@@ -257,6 +257,15 @@ def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
 _pallas_jit = jax.jit(get_repeat_device_pallas)
 
 
+@jax.jit
+def _pallas_packed_jit(packed, nbits, lengths, te, tp):
+    """2-bit packed transfer variant: device-side ASCII reconstruction (XLA,
+    fused) feeding the unchanged kernel. See ops.kmer.pack_bases."""
+    from strling_tpu.ops.kmer import unpack_ascii
+
+    return get_repeat_device_pallas(unpack_ascii(packed, nbits), lengths, te, tp)
+
+
 def unpack_unit_codes(code: np.ndarray, klen: np.ndarray) -> list[str]:
     """Base-4 packed unit code -> ACTG string (host-side)."""
     DEC = "ACTG"

@@ -102,3 +102,57 @@ def test_batch_matches_oracle_random(seed):
         exp_unit, exp_count = oracle.get_repeat(r, p)
         assert got[i] == exp_unit, (i, r, p, got[i], exp_unit)
         assert count[i] == exp_count, (i, r, p, int(count[i]), exp_count)
+
+
+# ------------------------------------------------------ 2-bit packed transfer
+
+
+def test_pack_unpack_roundtrip():
+    from strling_tpu.ops.kmer import pack_bases, unpack_ascii
+
+    rng = np.random.default_rng(11)
+    bases = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (64, 96))
+    bases[5, 40:] = 0  # padded tail
+    pk = pack_bases(bases)
+    assert pk is not None
+    rec = np.asarray(unpack_ascii(jnp.asarray(pk[0]), jnp.asarray(pk[1])))
+    # reconstruction is exact except padding zeros (decoded as 'A'; every
+    # kernel consumer is gated by `lengths` past which bytes are unused)
+    keep = bases != 0
+    assert (rec[keep] == bases[keep]).all()
+    assert (rec[~keep] == ord("A")).all()
+
+
+def test_pack_rejects_iupac():
+    from strling_tpu.ops.kmer import pack_bases
+
+    bases = np.full((4, 32), ord("A"), np.uint8)
+    bases[2, 7] = ord("R")
+    assert pack_bases(bases) is None
+    assert pack_bases(np.full((4, 30), ord("A"), np.uint8)) is None  # L%8
+
+
+def test_scan_codes_packed_equals_ascii():
+    from strling_tpu.ops.kmer import scan_codes
+
+    rng = np.random.default_rng(3)
+    reads = []
+    for i in range(300):
+        u = ["CAG", "A", "AT", "AAGGG", "ATTCT", "ACGT"][i % 6]
+        n = rng.integers(30, 152)
+        if i % 3 == 0:
+            s = (u * 60)[:n]
+        else:
+            s = "".join(rng.choice(list("ACGTN" if i % 7 else "N"))
+                        for _ in range(n))
+        reads.append(s)
+    L = 152
+    bases = np.zeros((len(reads), L), np.uint8)
+    lengths = np.array([len(r) for r in reads], np.int32)
+    for i, r in enumerate(reads):
+        bases[i, :len(r)] = np.frombuffer(r.encode(), np.uint8)
+    props = np.full(len(reads), 0.8)
+    got = scan_codes(bases, lengths, props, bucket=512, pack=True)
+    want = scan_codes(bases, lengths, props, bucket=512, pack=False)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
