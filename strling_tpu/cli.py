@@ -123,6 +123,15 @@ def _enable_compile_cache():
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    if "--platform" in argv:
+        # global escape hatch: force a jax backend (e.g. cpu) before first
+        # device use — env vars cannot override a sitecustomize platform pin
+        i = argv.index("--platform")
+        plat = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     _enable_compile_cache()
     print(f"\nstrling version: {__version__} (strling_tpu)", file=sys.stderr)
     if not argv or argv[0] not in COMMANDS:

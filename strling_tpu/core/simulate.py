@@ -294,9 +294,10 @@ def simulate_main(argv):
         else:
             alleles.append(parse_allele(a))
 
+    out_bam = args.output if args.output.endswith(".bam") else args.output + ".bam"
     simulate_str_bam(
-        args.fasta, alleles, args.output + ".bam", frag_hist,
+        args.fasta, alleles, out_bam, frag_hist,
         depth=args.depth, flank=args.flank, read_length=args.read_length,
         seed=args.seed, fastq_prefix=args.output if args.fastq else None,
     )
-    print(f"wrote {args.output}.bam", file=sys.stderr)
+    print(f"wrote {out_bam}", file=sys.stderr)

@@ -592,7 +592,12 @@ static bool tok3_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
   uint32_t ulen = b.u32le();
   uint32_t nnames = b.u32le();
   int use_arith = b.u8();
-  if (b.fail || ulen != usize || nnames > (1u << 26)) return false;
+  // each decoded name contributes at least its terminator byte to the
+  // output, so nnames > ulen is unsatisfiable — reject before allocating
+  // the per-name token table (a ~13-byte corrupt stream could otherwise
+  // force a multi-GB upfront allocation)
+  if (b.fail || ulen != usize || nnames > (1u << 26) || nnames > ulen)
+    return false;
   if (use_arith) return false;  // arithmetic coder not implemented
 
   // token streams: B[t][type] bytes + an independent read cursor each

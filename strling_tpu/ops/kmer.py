@@ -407,6 +407,6 @@ def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
 
 
 def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
-               backend: str = "auto", bucket: int = 4096):
+               backend: str = "auto", bucket: int = 4096, pack: bool = True):
     """Synchronous scan_codes_dispatch."""
-    return scan_codes_dispatch(bases, lengths, props, backend, bucket)()
+    return scan_codes_dispatch(bases, lengths, props, backend, bucket, pack)()

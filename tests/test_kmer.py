@@ -1,6 +1,7 @@
 """Repeat-detector tests: oracle fixtures from reference tests plus
 oracle-vs-device cross validation on random reads."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
