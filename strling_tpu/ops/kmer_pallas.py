@@ -266,6 +266,17 @@ def _pallas_packed_jit(packed, nbits, lengths, te, tp):
     return get_repeat_device_pallas(unpack_ascii(packed, nbits), lengths, te, tp)
 
 
+@jax.jit
+def _pallas_fused_jit(payload):
+    """Single-transfer variant: one u8 payload in, one [3, B] i32 out.
+    See ops.kmer.fuse_payload for the layout and the tunnel-cost rationale."""
+    from strling_tpu.ops.kmer import unfuse_payload
+
+    bases, lengths, te, tp = unfuse_payload(payload)
+    code, ulen, cnt = get_repeat_device_pallas(bases, lengths, te, tp)
+    return jnp.stack([code, ulen, cnt])
+
+
 def unpack_unit_codes(code: np.ndarray, klen: np.ndarray) -> list[str]:
     """Base-4 packed unit code -> ACTG string (host-side)."""
     DEC = "ACTG"
