@@ -137,6 +137,11 @@ def run_merge(bins: list[str], fasta: str | None = None, window: int = -1,
         assign_reads_locus(locus, groups)
         bounds_fh.write(locus.tostring(opts.targets) + "\n")
 
+    # Canonical output order: bed loci first (bed order, above), then cluster
+    # bounds sorted by (tid, left, repeat). The reference writes clusters in
+    # Nim table-iteration order (merge.nim:171-187) — not a contract; sorting
+    # makes single-process and --distributed merge byte-identical.
+    cluster_lines: list[tuple[tuple, str]] = []
     for (tid, repeat), (treads, names) in groups.items():
         for c in cluster(treads, max_dist=window,
                          min_supporting_reads=opts.min_support, qnames=names):
@@ -148,7 +153,9 @@ def run_merge(bins: list[str], fasta: str | None = None, window: int = -1,
             b, good = bounds_checked(c, min_clip, min_clip_total, max_clip_dist)
             if not good:
                 continue
-            bounds_fh.write(b.tostring(targets) + "\n")
+            cluster_lines.append(((b.tid, b.left, b.repeat), b.tostring(targets)))
+    for _, line in sorted(cluster_lines):
+        bounds_fh.write(line + "\n")
 
     bounds_fh.close()
     if verbose:

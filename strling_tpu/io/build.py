@@ -34,4 +34,11 @@ def lib_path() -> str:
     ]
     subprocess.run(cmd, check=True)
     os.replace(out + ".tmp", out)
+    # evict stale hash variants so the cache doesn't grow unboundedly
+    for f in os.listdir(_BUILD_DIR):
+        if f.startswith("libstrling_io-") and f != os.path.basename(out):
+            try:
+                os.unlink(os.path.join(_BUILD_DIR, f))
+            except OSError:
+                pass
     return out

@@ -19,8 +19,9 @@ TPU-native equivalent (SURVEY.md §2 parallelism table):
 
 Runs identically single-process over N local devices or multi-process under
 `jax.distributed` (one process per host; collectives ride ICI/DCN there,
-Gloo on CPU test meshes). Output lines equal single-process `run_merge` up
-to ordering (the reference's own per-chromosome merge also reorders).
+Gloo on CPU test meshes). Output is byte-identical to single-process
+`run_merge` including line order: both paths write the canonical order
+(bed loci in bed order, then cluster bounds sorted by (tid, left, repeat)).
 """
 
 from __future__ import annotations
@@ -247,7 +248,7 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
                                          max_clip_dist)
                 if not good:
                     continue
-                key = f"{targets[b.tid].name}\x01{b.left:012d}\x01{b.repeat}"
+                key = f"{b.tid:06d}\x01{b.left:012d}\x01{b.repeat}"
                 local_bounds.append((1, 0, key, b.tostring(targets)))
 
     # --- gather bounds lines (tag-prefixed) to every process, write once ----

@@ -3,8 +3,9 @@
 Single-process runs span the 8 virtual CPU devices (conftest); the
 multi-process test spawns two jax.distributed workers (Gloo collectives) and
 checks the written bounds file. Both must reproduce single-process
-run_merge's lines exactly (order-insensitively — the reference's own
-per-chromosome merge fan-out also reorders lines)."""
+run_merge's lines byte-identically INCLUDING order — both paths pin the
+canonical order (bed loci in bed order, then clusters sorted by
+(tid, left, repeat))."""
 
 import os
 import subprocess
@@ -60,7 +61,7 @@ def bins_dir(tmp_path_factory):
 def _read_lines(path):
     with open(path) as f:
         lines = f.read().splitlines()
-    return lines[0], sorted(lines[1:])
+    return lines[0], lines[1:]  # exact order — canonical in both paths
 
 
 def test_pack_roundtrip():
@@ -89,7 +90,7 @@ def test_single_process_matches_run_merge(bins_dir):
     h2, got = _read_lines(str(d / "dist_merge-bounds.txt"))
     assert h1 == h2
     assert got == want
-    assert sorted(lines) == want
+    assert lines == want
     assert len(want) >= 2  # both planted loci discovered
 
 
