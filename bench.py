@@ -176,8 +176,10 @@ def bench_call(smoke: bool):
                                 a.repeat_unit)
         hist = normal_hist(400, 50)
         bam_path = os.path.join(d, "s.bam")
+        # flank must exceed the simulator's 2*4096 sampling margin
+        # (simulate_allele: L = len(hap) - 2*4096) or zero reads come out
         simulate_str_bam(os.path.join(d, "ref.fa"), alleles, bam_path, hist,
-                         depth=30, flank=3000, seed=1)
+                         depth=30, flank=11_000, seed=1)
         bam = Bam(bam_path)
         tb, frag, opts = extract(bam, None, None)
         binp = os.path.join(d, "s.bin")
@@ -186,7 +188,10 @@ def bench_call(smoke: bool):
         run_call(bam_path, binp, output_prefix=os.path.join(d, "out"))
         dt = time.perf_counter() - t0
         lines = open(os.path.join(d, "out-genotype.txt")).read().splitlines()
-        n_called = max(1, len(lines) - 1)
+        n_called = len(lines) - 1
+        if n_called < n_loci // 2:
+            print(f"# WARNING: call bench genotyped {n_called}/{n_loci} "
+                  "planted loci — metric unreliable", file=sys.stderr)
         lps = n_called / dt
     emit("call_loci_per_sec", lps, "loci/s", lps / NIM_BASELINE_LOCI_PER_SEC)
     print(f"# call n_called={n_called} dt={dt:.2f}s", file=sys.stderr)

@@ -399,7 +399,6 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     """
     from strling_tpu.core.genome_index import genome_repeats as build_gi
     from strling_tpu.io.extract_native import NativeExtractor, native_frag_hist
-    from strling_tpu.ops.kmer import scan_codes_dispatch
     from strling_tpu.utils import fraglen
 
     frag_dist, max_read_len = native_frag_hist(bam, return_max_len=True)
@@ -422,17 +421,7 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     )
     print("[strling] collecting str-like reads", file=sys.stderr)
     t0 = time.time()
-
-    def dispatch_fn(bases, lengths, props):
-        R = len(lengths)
-        bucket = next(
-            (b for b in NativeExtractor.BUCKETS if b >= R), ne.rows_cap
-        )
-        return scan_codes_dispatch(
-            bases, lengths, props, backend=backend, bucket=bucket
-        )
-
-    tb = ne.run(dispatch_fn)
+    tb = ne.run(backend=backend)
     if verbose:
         dt = max(1e-9, time.time() - t0)
         print(

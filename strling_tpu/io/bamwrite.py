@@ -116,6 +116,7 @@ class BamRecord:
         self.mate_pos = mate_pos
         self.isize = isize
         self.seq = seq
+        self.qual = qual  # raw phred values (bytes/str of +33 ASCII), or None
 
     def encode(self) -> bytes:
         l_seq = len(self.seq)

@@ -983,6 +983,15 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
             feats, ok = _features(r, ref)
             if not ok:
                 raise ValueError("unsupported CIGAR for CRAM write")
+        qual = getattr(r, "qual", None)
+        if qual is not None:
+            cf |= 0x1  # stored (non-default) quality scores
+            q = qual.encode() if isinstance(qual, str) else bytes(qual)
+            if len(q) != len(r.seq):
+                raise ValueError("qual length != seq length")
+            # CRAM stores raw phred values; ASCII input is phred+33
+            st["QS"] += bytes((b - 33) & 0xFF for b in q) \
+                if isinstance(qual, str) else q
         if mate_link[i] >= 0:
             cf |= 0x4
         elif not is_mate_target[i]:

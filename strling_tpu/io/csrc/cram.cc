@@ -18,10 +18,12 @@
 #include "strling_io.h"
 
 #include <array>
+#include <climits>
 #include <condition_variable>
 #include <map>
 #include <memory>
 #include <mutex>
+#include <set>
 #include <thread>
 
 namespace {
@@ -814,10 +816,19 @@ struct Block {
   int method = 0;
   int ctype = 0;
   int content_id = 0;
+  bool skipped = false;  // payload not decompressed (required-fields skip)
   std::vector<uint8_t> data;
 };
 
-static bool read_block(Buf& b, Block* blk, std::string* err) {
+// used_ids != nullptr enables the required-fields skip: an EXTERNAL block
+// whose content id no needed data series reads (and which is not the
+// embedded reference) is not decompressed at all — the equivalent of
+// htslib's CRAM_OPT_REQUIRED_FIELDS (reference extract.nim:278,291 skips
+// QUAL/AUX everywhere). Quality + tag blocks are typically most of a CRAM's
+// bytes.
+static bool read_block(Buf& b, Block* blk, std::string* err,
+                       const std::set<int>* used_ids = nullptr,
+                       int embedded_ref_id = INT_MIN) {
   blk->method = b.u8();
   blk->ctype = b.u8();
   blk->content_id = b.itf8();
@@ -831,6 +842,13 @@ static bool read_block(Buf& b, Block* blk, std::string* err) {
   const uint8_t* cdata = b.p;
   b.p += csize;
   b.u32le();  // CRC32 trailer (computed over header+data; not verified)
+  if (used_ids && blk->ctype == BT_EXTERNAL &&
+      blk->content_id != embedded_ref_id &&
+      used_ids->find(blk->content_id) == used_ids->end()) {
+    blk->skipped = true;
+    blk->data.clear();
+    return true;
+  }
   switch (blk->method) {
     case 0:  // raw
       blk->data.assign(cdata, cdata + csize);
@@ -905,20 +923,33 @@ struct Stream {
 };
 
 struct Ctx {
-  std::map<int, Stream> ext;
+  // content-id -> stream: flat array for the small ids every data series
+  // uses (one lookup per decoded value — this is the hottest call in the
+  // whole CRAM path), map fallback for large ids (3-byte tag keys)
+  static constexpr int SMALL = 256;
+  Stream ext_small[SMALL] = {};
+  std::map<int, Stream> ext_big;
   Stream core;
   size_t corebit = 0;
   bool fail = false;
   std::string err;
 
+  void put(int id, Stream s) {
+    if ((unsigned)id < SMALL) ext_small[id] = s;
+    else ext_big[id] = s;
+  }
+
   Stream* get(int id) {
-    auto it = ext.find(id);
-    if (it == ext.end()) {
-      fail = true;
-      err = "missing external block " + std::to_string(id);
-      return nullptr;
+    if ((unsigned)id < SMALL) {
+      Stream* s = &ext_small[id];
+      if (s->p) return s;
+    } else {
+      auto it = ext_big.find(id);
+      if (it != ext_big.end()) return &it->second;
     }
-    return &it->second;
+    fail = true;
+    err = "missing external block " + std::to_string(id);
+    return nullptr;
   }
   int bit() {
     size_t byte = corebit >> 3;
@@ -938,13 +969,27 @@ struct Ctx {
     return *s->p++;
   }
   int64_t ext_itf8(int id) {
+    // inlined itf8 (hot: ~12 calls per record) — fast path for 1-byte values
     Stream* s = get(id);
-    if (!s) return 0;
-    Buf b(s->p, s->e - s->p);
-    int32_t v = b.itf8();
-    if (b.fail) { fail = true; return 0; }
-    s->p = b.p;
-    return v;
+    if (!s || s->p >= s->e) { fail = true; return 0; }
+    uint32_t b0 = *s->p++;
+    if (b0 < 0x80) return (int64_t)(int32_t)b0;
+    if (b0 >= 0xf0) {  // 5-byte form: low 4 bits of the final byte only
+      if (s->e - s->p < 4) { fail = true; return 0; }
+      uint32_t w = (b0 & 0x0f) << 28;
+      w |= (uint32_t)s->p[0] << 20;
+      w |= (uint32_t)s->p[1] << 12;
+      w |= (uint32_t)s->p[2] << 4;
+      w |= (uint32_t)(s->p[3] & 0x0f);
+      s->p += 4;
+      return (int64_t)(int32_t)w;
+    }
+    int extra = b0 < 0xc0 ? 1 : b0 < 0xe0 ? 2 : 3;
+    if (s->e - s->p < extra) { fail = true; return 0; }
+    uint32_t v = b0;
+    for (int i = 0; i < extra; i++) v = (v << 8) | *s->p++;
+    static const uint32_t MASK[4] = {0, 0x3fff, 0x1fffff, 0x0fffffff};
+    return (int64_t)(int32_t)(v & MASK[extra]);
   }
 };
 
@@ -1123,11 +1168,115 @@ struct CompHdr {
   std::map<uint16_t, Encoding> ds;  // key = (c0<<8)|c1
   std::map<int32_t, Encoding> tags;
 
+  // required-fields analysis (computed once per compression header): this
+  // reader decodes-and-discards qualities (QS/QQ) and aux tags, so any of
+  // them whose encodings draw only on EXTERNAL blocks that no needed series
+  // shares can be skipped entirely — including the block decompression.
+  bool skip_enabled = false;
+  bool skip_qs = false, skip_qq = false;
+  std::set<int32_t> skip_tag_keys;
+  std::set<int> used_ids;  // external content ids that must be decompressed
+
   const Encoding* get(const char* k) const {
     auto it = ds.find((uint16_t)(((uint8_t)k[0] << 8) | (uint8_t)k[1]));
     return it == ds.end() ? nullptr : &it->second;
   }
 };
+
+// collect what an encoding consumes: core bitstream and/or external ids
+static void enc_use(const Encoding& e, bool* core, std::set<int>* ids) {
+  switch (e.codec) {
+    case 1:  // EXTERNAL
+    case 5:  // BYTE_ARRAY_STOP
+      ids->insert(e.content_id);
+      break;
+    case 4:  // BYTE_ARRAY_LEN
+      if (e.len_enc) enc_use(*e.len_enc, core, ids);
+      if (e.val_enc) enc_use(*e.val_enc, core, ids);
+      break;
+    case 3:  // HUFFMAN: a single zero-length symbol consumes no core bits
+      if (!(e.hlens.size() == 1 && e.hlens[0] == 0)) *core = true;
+      break;
+    case 6:  // BETA
+    case 9:  // GAMMA
+      *core = true;
+      break;
+    default:
+      break;  // NULL
+  }
+}
+
+static bool cram_decode_all() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = getenv("STRLING_CRAM_DECODE_ALL");
+    v = (e && *e && *e != '0') ? 1 : 0;
+  }
+  return v == 1;
+}
+
+static void analyze_required_fields(CompHdr* ch) {
+  if (cram_decode_all()) return;
+  std::set<int> needed;
+  const uint16_t KQS = ('Q' << 8) | 'S', KQQ = ('Q' << 8) | 'Q';
+  for (const auto& kv : ch->ds) {
+    if (kv.first == KQS || kv.first == KQQ) continue;
+    bool core = false;
+    enc_use(kv.second, &core, &needed);
+  }
+  struct Cand {
+    int which;  // 0 QS, 1 QQ, 2 tag
+    int32_t key;
+    bool core = false;
+    std::set<int> ids;
+    bool skipped = true;
+  };
+  std::vector<Cand> cands;
+  for (int w = 0; w < 2; w++) {
+    auto it = ch->ds.find(w == 0 ? KQS : KQQ);
+    if (it == ch->ds.end()) continue;
+    Cand c;
+    c.which = w;
+    c.key = 0;
+    enc_use(it->second, &c.core, &c.ids);
+    cands.push_back(std::move(c));
+  }
+  for (const auto& kv : ch->tags) {
+    Cand c;
+    c.which = 2;
+    c.key = kv.first;
+    enc_use(kv.second, &c.core, &c.ids);
+    cands.push_back(std::move(c));
+  }
+  // fixpoint: demote any candidate that consumes core bits or shares an
+  // external block with a series that must be decoded
+  bool changed = true;
+  while (changed) {
+    changed = false;
+    for (auto& c : cands) {
+      if (!c.skipped) continue;
+      bool overlap = c.core;
+      for (int id : c.ids)
+        if (overlap || needed.count(id)) {
+          overlap = true;
+          break;
+        }
+      if (overlap) {
+        c.skipped = false;
+        for (int id : c.ids) needed.insert(id);
+        changed = true;
+      }
+    }
+  }
+  for (const auto& c : cands) {
+    if (!c.skipped) continue;
+    if (c.which == 0) ch->skip_qs = true;
+    else if (c.which == 1) ch->skip_qq = true;
+    else ch->skip_tag_keys.insert(c.key);
+  }
+  ch->used_ids = std::move(needed);
+  ch->skip_enabled = true;
+}
 
 static bool parse_comp_hdr(const std::vector<uint8_t>& data, CompHdr* ch,
                            std::string* err) {
@@ -1187,6 +1336,7 @@ static bool parse_comp_hdr(const std::vector<uint8_t>& data, CompHdr* ch,
     ch->tags[key] = std::move(E);
   }
   if (b.fail) { *err = "truncated compression header"; return false; }
+  analyze_required_fields(ch);
   return true;
 }
 
@@ -1392,6 +1542,15 @@ static char substitute(const uint8_t sm[5], char refbase, int code) {
 }
 
 // ASCII base -> BAM 4-bit code
+static uint8_t nt16(char c);
+struct NT16Tab {
+  uint8_t t[256];
+  NT16Tab() {
+    for (int i = 0; i < 256; i++) t[i] = nt16((char)i);
+  }
+};
+static const NT16Tab NT16T;
+
 static uint8_t nt16(char c) {
   switch (c) {
     case '=': return 0;
@@ -1726,8 +1885,10 @@ struct CramReader : Reader {
       return false;
     }
     std::vector<Block> blocks(sh.n_blocks);
+    const std::set<int>* used = cmp.skip_enabled ? &cmp.used_ids : nullptr;
     for (int i = 0; i < sh.n_blocks; i++)
-      if (!read_block(*b, &blocks[i], errp)) return false;
+      if (!read_block(*b, &blocks[i], errp, used, sh.embedded_ref_id))
+        return false;
     return decode_slice(cmp, sh, blocks, out, errp);
   }
 
@@ -1772,11 +1933,12 @@ struct CramReader : Reader {
     Ctx c;
     const std::vector<uint8_t>* embedded_ref = nullptr;
     for (const Block& blk : blocks) {
+      if (blk.skipped) continue;  // required-fields: never decompressed
       if (blk.ctype == BT_CORE) {
         c.core = {blk.data.data(), blk.data.data() + blk.data.size()};
       } else if (blk.ctype == BT_EXTERNAL) {
-        c.ext[blk.content_id] = {blk.data.data(),
-                                 blk.data.data() + blk.data.size()};
+        c.put(blk.content_id,
+              {blk.data.data(), blk.data.data() + blk.data.size()});
         if (blk.content_id == sh.embedded_ref_id) embedded_ref = &blk.data;
       }
     }
@@ -1789,8 +1951,11 @@ struct CramReader : Reader {
                    *eFP = DS("FP"), *eDL = DS("DL"), *eBB = DS("BB"),
                    *eQQ = DS("QQ"), *eBS = DS("BS"), *eIN = DS("IN"),
                    *eSC = DS("SC"), *eHC = DS("HC"), *ePD = DS("PD"),
-                   *eRS = DS("RS"), *eBA = DS("BA"), *eQS = DS("QS"),
-                   *eMQ = DS("MQ");
+                   *eRS = DS("RS"), *eBA = DS("BA"), *eMQ = DS("MQ");
+    // required-fields: a skipped series decodes as if absent (every use
+    // site already guards on the pointer)
+    const Encoding* eQS = cmp.skip_qs ? nullptr : DS("QS");
+    if (cmp.skip_qq) eQQ = nullptr;
     if (!eBF || !eCF || !eRL || !eAP) {
       *errp = "missing required data series";
       return false;
@@ -1853,6 +2018,7 @@ struct CramReader : Reader {
       }
       for (const auto& t : cmp.td[tl]) {
         int32_t key = ((int32_t)t[0] << 16) | ((int32_t)t[1] << 8) | t[2];
+        if (cmp.skip_tag_keys.count(key)) continue;  // required-fields skip
         auto it = cmp.tags.find(key);
         if (it == cmp.tags.end()) { *errp = "missing tag encoding"; return false; }
         it->second.dec_bytes(c, &arr);  // decode & discard
@@ -1895,6 +2061,17 @@ struct CramReader : Reader {
           if (!refp || k < 0 || k >= ref_len) return 'N';
           return refp[k];
         };
+        // bulk append of a match span (the common case: whole reads are one
+        // M gap) — memcpy when fully inside the reference, per-base at edges
+        auto append_ref = [&](int64_t pos1, int64_t n) {
+          int64_t k = pos1 - ref_off;
+          if (refp && k >= 0 && k + n <= ref_len) {
+            seqbuf.append(refp + k, (size_t)n);
+          } else {
+            for (int64_t g = 0; g < n; g++)
+              seqbuf.push_back(refbase(pos1 + g));
+          }
+        };
         auto addcig = [&](int op, int64_t len) {
           if (len <= 0) return;
           if (!r.cigar.empty() && (int)(r.cigar.back() & 0xf) == op)
@@ -1914,7 +2091,7 @@ struct CramReader : Reader {
           prev_fp = fp_;
           int64_t gap = fp_ - qpos;
           if (gap > 0) {
-            for (int64_t g = 0; g < gap; g++) seqbuf.push_back(refbase(rpos + g));
+            append_ref(rpos, gap);
             addcig(0, gap);
             rpos += gap;
             qpos += gap;
@@ -1965,7 +2142,8 @@ struct CramReader : Reader {
               break;
             }
             case 'q': {
-              if (!eQQ || !eQQ->dec_bytes(c, &arr)) c.fail = true;
+              // eQQ may be deliberately null (required-fields skip)
+              if (eQQ && !eQQ->dec_bytes(c, &arr)) c.fail = true;
               break;
             }
             case 'Q': {
@@ -2002,7 +2180,7 @@ struct CramReader : Reader {
         if (qpos > rl + 1) { *errp = "CRAM features overrun read length"; return false; }
         int64_t tail = rl - (qpos - 1);
         if (tail > 0) {
-          for (int64_t g = 0; g < tail; g++) seqbuf.push_back(refbase(rpos + g));
+          append_ref(rpos, tail);
           addcig(0, tail);
         }
         r.mapq = eMQ ? (uint8_t)eMQ->dec_int(c) : 0;
@@ -2026,11 +2204,18 @@ struct CramReader : Reader {
       if (c.fail) { *errp = c.err.empty() ? "slice decode failed" : c.err; return false; }
       r.flag = (uint16_t)bf;
       r.n_cigar = (uint16_t)r.cigar.size();
-      // pack sequence to 4-bit
-      r.seq4.assign(((size_t)rl + 1) / 2, 0);
-      for (int64_t q = 0; q < rl; q++) {
-        uint8_t nib = nt16(q < (int64_t)seqbuf.size() ? seqbuf[q] : 'N');
-        r.seq4[q >> 1] |= (q & 1) ? nib : (uint8_t)(nib << 4);
+      // pack sequence to 4-bit (LUT, two bases per output byte)
+      if ((int64_t)seqbuf.size() < rl) seqbuf.resize(rl, 'N');
+      r.seq4.resize(((size_t)rl + 1) / 2);
+      {
+        const uint8_t* tab = NT16T.t;
+        const char* sp = seqbuf.data();
+        uint8_t* dp = r.seq4.data();
+        int64_t q = 0;
+        for (; q + 1 < rl; q += 2)
+          dp[q >> 1] = (uint8_t)((tab[(uint8_t)sp[q]] << 4) |
+                                 tab[(uint8_t)sp[q + 1]]);
+        if (q < rl) dp[q >> 1] = (uint8_t)(tab[(uint8_t)sp[q]] << 4);
       }
       out->push_back(std::move(r));
     }

@@ -143,6 +143,10 @@ struct Engine {
 
   std::unordered_map<std::string, Tread> tbl;
   std::vector<Tread> out;
+  // internal row buffers for the fused-payload path (sio_ex_next_fused)
+  std::vector<uint8_t> row_bases;
+  std::vector<int32_t> row_len;
+  std::vector<double> row_prop;
   // FIFO of batches awaiting kernel results (enables Python-side pipelining:
   // the next batch is read+packed while the device scans the previous one)
   std::deque<std::vector<Pending>> queue;
@@ -466,6 +470,82 @@ int64_t sio_ex_next(void* ve, int64_t max_records, int64_t* n_records,
                     int64_t rows_cap) {
   return ((Engine*)ve)->next(max_records, n_records, bases, lengths, props,
                              rows_cap);
+}
+
+// Fused-payload batch read: rows come out directly in the kernel's wire
+// layout (ops/kmer.py fuse_payload): per row of width 3*Lmax/8 + 22,
+//   [Lmax/4 bytes 2-bit codes | Lmax/8 bytes N bitmask |
+//    5x te u16 | 5x tp u16 | length u16]  (little-endian u16s)
+// te/tp are computed with the same double-precision expressions as
+// ops/kmer.py _host_thresholds (utils.nim:251,259). If the batch contains
+// any byte outside {0,A,C,G,T,N} the 2-bit code is not faithful
+// ((c>>1)&3 of e.g. 'R' is unrecoverable), so the ASCII rows are copied to
+// the fallback buffers instead and *used_fallback is set.
+int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
+                          uint8_t* payload, uint8_t* ascii_bases,
+                          int32_t* ascii_len, double* ascii_prop,
+                          int64_t rows_cap, int32_t* used_fallback) {
+  Engine* e = (Engine*)ve;
+  const int Lmax = e->Lmax;
+  e->row_bases.resize((size_t)rows_cap * Lmax);
+  e->row_len.resize(rows_cap);
+  e->row_prop.resize(rows_cap);
+  int64_t rows = e->next(max_records, n_records, e->row_bases.data(),
+                         e->row_len.data(), e->row_prop.data(), rows_cap);
+  if (rows <= 0) {
+    *used_fallback = 0;
+    return rows;
+  }
+  static bool ok_tbl_init = false;
+  static bool ok_tbl[256];
+  if (!ok_tbl_init) {
+    memset(ok_tbl, 0, sizeof(ok_tbl));
+    ok_tbl[0] = ok_tbl['A'] = ok_tbl['C'] = ok_tbl['G'] = ok_tbl['T'] =
+        ok_tbl['N'] = true;
+    ok_tbl_init = true;
+  }
+  bool iupac = false;
+  for (int64_t r = 0; r < rows && !iupac; r++) {
+    const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
+    for (int j = 0; j < e->row_len[r]; j++)
+      if (!ok_tbl[src[j]]) {
+        iupac = true;
+        break;
+      }
+  }
+  if (iupac) {
+    memcpy(ascii_bases, e->row_bases.data(), (size_t)rows * Lmax);
+    memcpy(ascii_len, e->row_len.data(), rows * sizeof(int32_t));
+    memcpy(ascii_prop, e->row_prop.data(), rows * sizeof(double));
+    *used_fallback = 1;
+    return rows;
+  }
+  const int64_t rowW = 3 * (int64_t)Lmax / 8 + 22;
+  for (int64_t r = 0; r < rows; r++) {
+    const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
+    uint8_t* dst = payload + r * rowW;
+    for (int j = 0; j < Lmax; j += 4)
+      dst[j >> 2] = (uint8_t)(((src[j] >> 1) & 3) | ((src[j + 1] >> 1) & 3) << 2 |
+                              ((src[j + 2] >> 1) & 3) << 4 |
+                              ((src[j + 3] >> 1) & 3) << 6);
+    uint8_t* nb = dst + Lmax / 4;
+    for (int j = 0; j < Lmax; j += 8) {
+      uint8_t b = 0;
+      for (int i = 0; i < 8; i++) b |= (uint8_t)(src[j + i] == 'N') << i;
+      nb[j >> 3] = b;
+    }
+    uint16_t* meta = (uint16_t*)(dst + 3 * Lmax / 8);
+    const double L = (double)e->row_len[r];
+    const double prop = e->row_prop[r];
+    for (int ki = 0; ki < 5; ki++) {
+      const double k = (double)(ki + 2);
+      meta[ki] = (uint16_t)(int64_t)(L * 0.12 / k);
+      meta[5 + ki] = (uint16_t)(int64_t)(L * prop / k);
+    }
+    meta[10] = (uint16_t)e->row_len[r];
+  }
+  *used_fallback = 0;
+  return rows;
 }
 
 int sio_ex_feed(void* ve, const int32_t* unit_code, const int32_t* unit_len,

@@ -161,14 +161,27 @@ int64_t sio_next_batch(void* vh, int64_t cap, int Lmax, int32_t* tid,
     rclip[n] = rcl;
     ins_sum[n] = ins;
     del_sum[n] = del;
-    // seq ASCII expand
+    // seq ASCII expand: one LUT hit expands a packed byte to two chars
+    static const struct Nib2 {
+      uint16_t t[256];
+      Nib2() {
+        for (int b = 0; b < 256; b++)
+          t[b] = (uint16_t)((uint8_t)SEQ_NT16[b >> 4] |
+                            ((uint16_t)(uint8_t)SEQ_NT16[b & 0xf] << 8));
+      }
+    } NIB2;
     uint8_t* sdst = seq + n * Lmax;
     int L = std::min<int32_t>(r.l_seq, Lmax);
-    for (int i = 0; i < L; i++) {
-      uint8_t nib = (r.seq4[i >> 1] >> ((i & 1) ? 0 : 4)) & 0xf;
-      sdst[i] = (uint8_t)SEQ_NT16[nib];
+    {
+      int i = 0;
+      for (; i + 1 < L; i += 2) {
+        uint16_t two = NIB2.t[r.seq4[i >> 1]];
+        memcpy(sdst + i, &two, 2);
+      }
+      if (i < L)
+        sdst[i] = (uint8_t)SEQ_NT16[(r.seq4[i >> 1] >> 4) & 0xf];
     }
-    for (int i = L; i < Lmax; i++) sdst[i] = 0;
+    memset(sdst + L, 0, Lmax - L);
     memcpy(cigar_buf + coff, r.cigar.data(), 4 * nc);
     coff += (int64_t)nc;
     cigar_off[n + 1] = coff;

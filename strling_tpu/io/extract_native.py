@@ -1,14 +1,18 @@
 """Python driver for the native C++ extract engine.
 
-Pipelined loop (default 4 batches in flight): while the device scans batches
-i..i+3, the C++ engine reads and packs the next batch and the result-fetch
-round trips overlap device compute (the ~30ms tunnel fetch latency and the
-BGZF decode never serialize with the scan).
+Pipelined loop (default 4 batches in flight): the C++ engine reads, pairs
+and packs each batch directly into the kernel's fused wire payload
+(sio_ex_next_fused — one uint8 buffer per batch, ~62B per 160bp row), and a
+small worker-thread pool runs the device dispatch + result fetch so the
+host→device transfer and the fetch round trips of in-flight batches overlap
+each other AND the next batch's BGZF decode. Feeds stay FIFO (the C++ mate
+cache is order-dependent).
 """
 
 from __future__ import annotations
 
 import ctypes as C
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -26,6 +30,11 @@ def _bind(lib):
     lib.sio_ex_next.argtypes = [
         C.c_void_p, C.c_int64, C.POINTER(C.c_int64), P(np.uint8), P(np.int32),
         P(np.float64), C.c_int64,
+    ]
+    lib.sio_ex_next_fused.restype = C.c_int64
+    lib.sio_ex_next_fused.argtypes = [
+        C.c_void_p, C.c_int64, C.POINTER(C.c_int64), P(np.uint8), P(np.uint8),
+        P(np.int32), P(np.float64), C.c_int64, C.POINTER(C.c_int32),
     ]
     lib.sio_ex_feed.argtypes = [C.c_void_p, P(np.int32), P(np.int32), P(np.int32), C.c_int64]
     lib.sio_ex_done.argtypes = [C.c_void_p]
@@ -79,14 +88,16 @@ class NativeExtractor:
 
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 16384, Lmax: int | None = None):
+                 batch_records: int = 30_000, Lmax: int | None = None):
         self.lib = _lib()
         self.bam = bam
         # transfer width: the max read length (rounded up) bounds the packed
         # row width; 150bp data moves 160-byte rows instead of 256
         self.Lmax = min(bam.Lmax, Lmax) if Lmax else bam.Lmax
         self.batch_records = batch_records
-        self.rows_cap = batch_records * 2
+        # rows per batch target the largest kernel tier (32768): the engine
+        # stops a batch early if scan rows would exceed it
+        self.rows_cap = max(8, min(batch_records * 2, self.BUCKETS[-1]))
         self._e = self.lib.sio_ex_create(
             bam._h, proportion_repeat, min_mapq, median_fragment_length, self.Lmax
         )
@@ -122,6 +133,29 @@ class NativeExtractor:
             raise IOError(self.lib.sio_ex_error(self._e).decode())
         return int(rows), int(n_records.value), bases, lengths, props
 
+    def _next_fused(self):
+        """Fused-payload batch: returns (rows, n_records, payload|None,
+        ascii-tuple|None). payload rows are already in the kernel wire
+        layout; the ascii tuple is only filled on the rare IUPAC fallback."""
+        rowW = 3 * self.Lmax // 8 + 22
+        payload = np.empty((self.rows_cap, rowW), np.uint8)
+        bases = np.empty((self.rows_cap, self.Lmax), np.uint8)
+        lengths = np.empty(self.rows_cap, np.int32)
+        props = np.empty(self.rows_cap, np.float64)
+        n_records = C.c_int64(0)
+        fb = C.c_int32(0)
+        rows = self.lib.sio_ex_next_fused(
+            self._e, self.batch_records, C.byref(n_records),
+            payload.reshape(-1), bases.reshape(-1), lengths, props,
+            self.rows_cap, C.byref(fb),
+        )
+        if rows < 0:
+            raise IOError(self.lib.sio_ex_error(self._e).decode())
+        rows = int(rows)
+        if fb.value:
+            return rows, int(n_records.value), None, (bases, lengths, props)
+        return rows, int(n_records.value), payload[:rows], None
+
     def _feed(self, result):
         lib = _lib()
         empty = np.zeros(0, np.int32)
@@ -135,34 +169,52 @@ class NativeExtractor:
                 np.ascontiguousarray(cnt, np.int32), len(code),
             )
 
-    def run(self, dispatch_fn, depth: int = 4) -> TreadBatch:
-        """Pipelined loop: dispatch_fn(bases [R, L], lengths, props) returns a
-        zero-arg fetch closure (the async device dispatch). Up to `depth`
-        batches stay in flight, so the device scans batches i..i+depth-1
-        while the engine reads+packs the next and the result fetch round-trip
-        of batch i overlaps device compute (feeds are FIFO; the C++ engine
-        queues pending batches in order)."""
+    def run(self, backend: str = "auto", depth: int = 4,
+            buckets: tuple[int, ...] | None = None) -> TreadBatch:
+        """Pipelined loop. Each batch comes out of the C++ engine already in
+        the kernel's fused wire layout; a pool of `depth` worker threads runs
+        the blocking transfer→scan→fetch chain so up to `depth` device round
+        trips are in flight while the main thread decodes/pairs the next
+        batch. Feeds are FIFO (the C++ mate-cache state machine is
+        order-dependent; futures are drained in submission order)."""
         from collections import deque
 
+        from strling_tpu.ops.kmer import scan_codes, scan_payload
+
         lib = _lib()
+        buckets = buckets or self.BUCKETS
         EMPTY = "empty"  # sentinel for fast-path-only batches (no scan rows)
+
+        def scan_job(payload, ascii_rows, rows, bucket):
+            if payload is not None:
+                return scan_payload(payload, rows, backend=backend,
+                                    bucket=bucket)
+            b, l, p = ascii_rows
+            return scan_codes(b[:rows], l[:rows], p[:rows], backend=backend,
+                              bucket=bucket)
+
         inflight: deque = deque()
-        while True:
-            rows, n_records, bases, lengths, props = self._next()
-            if n_records > 0:
-                if rows > 0:
-                    inflight.append(
-                        dispatch_fn(bases[:rows], lengths[:rows], props[:rows])
-                    )
-                else:
-                    inflight.append(EMPTY)
-            done = n_records == 0 and bool(lib.sio_ex_done(self._e))
-            limit = 0 if done else max(0, depth - 1)
-            while len(inflight) > limit:
-                f = inflight.popleft()
-                self._feed(None if f is EMPTY else f())
-            if done:
-                break
+        with ThreadPoolExecutor(max_workers=depth) as pool:
+            while True:
+                rows, n_records, payload, ascii_rows = self._next_fused()
+                if n_records > 0:
+                    if rows > 0:
+                        bucket = next(
+                            (b for b in buckets if b >= rows), self.rows_cap
+                        )
+                        inflight.append(
+                            pool.submit(scan_job, payload, ascii_rows, rows,
+                                        bucket)
+                        )
+                    else:
+                        inflight.append(EMPTY)
+                done = n_records == 0 and bool(lib.sio_ex_done(self._e))
+                limit = 0 if done else max(0, depth - 1)
+                while len(inflight) > limit:
+                    f = inflight.popleft()
+                    self._feed(None if f is EMPTY else f.result())
+                if done:
+                    break
         return self.treads()
 
     @property

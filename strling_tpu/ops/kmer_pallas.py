@@ -28,7 +28,7 @@ NEG = -1
 
 
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
-            codes_s, wmin_s, match_s):
+            codes_s, wmin_s, match_s, tot_s, aft_s):
     L, TB = bases_ref.shape
     basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
     codes = (basesi >> 1) & 3  # [L, TB]
@@ -86,31 +86,52 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
                 modal = jnp.where(better, v, modal)
             kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
         else:
-            # pairwise totals + running last-occurrence max. total_j counts
-            # matches among valid windows only (invalid rows are NEG, which
-            # never equals a valid code; NEG-vs-NEG hits are filtered by the
-            # validw gate below). Row i is re-read through VMEM scratch
-            # (value dynamic_slice is not lowerable in Mosaic).
-            wmin_s[:W, :] = wmin
-
-            def modal_body(i, carry):
-                total, lastmax = carry
-                row = wmin_s[pl.ds(i, 1), :]
-                eq = wmin == row  # [W, TB]
-                total = total + eq.astype(jnp.int32)
-                lastmax = jnp.maximum(lastmax, jnp.where(eq, i, -1))
-                return total, lastmax
-
-            total, lastmax = jax.lax.fori_loop(
-                0, W, modal_body,
-                (jnp.zeros((W, TB), jnp.int32), jnp.full((W, TB), -1, jnp.int32)),
-            )
-            # (int16 packing attempted: "Target does not support this
-            # comparison" — 16-bit vector compares don't lower on this TPU,
-            # like the u8 case above)
+            # Triangular packed NE-counting, 2 reads per lane. Equivalent to
+            # the O(W^2)-compare pairwise loop (the original formulation, kept
+            # in ops/kmer.py's XLA path) but ~3.5x cheaper:
+            #   - invalid windows get unique sentinels (0x4000+row) so they
+            #     never match anything and no validity masking is needed in
+            #     the counting itself;
+            #   - two reads ride one i32 lane (codes+sentinels < 0x8000), and
+            #     per-field "differs" bits come from one add + mask via the
+            #     halfword-nonzero trick (v + 0x7FFF sets bit15 iff v>0, no
+            #     cross-field carry since v <= 0x8000-1);
+            #   - only pairs j>i are compared (unrolled triangular loop over
+            #     VMEM accumulators); row i's same-step sum gives its
+            #     "matches-after" count, whose zero test IS the
+            #     last-occurrence-of-code flag, replacing the running lastmax
+            #     carry of the reference's CountTable argmax
+            #     (utils.nim:192-211): winner = max total, tie -> the row
+            #     that is the last occurrence of its code with the smallest
+            #     index.
+            TBH = TB // 2
+            sent = jnp.where(validw, wmin, 0x4000 + widx)
+            lo = jax.lax.slice(sent, (0, 0), (W, TBH))
+            hi = jax.lax.slice(sent, (0, TBH), (W, TB))
+            pw = lo | (hi << 16)
+            tot_s[:W, :] = jnp.zeros((W, TBH), jnp.int32)
+            aft_s[:W, :] = jnp.zeros((W, TBH), jnp.int32)
+            for i in range(W - 1):
+                row = jax.lax.slice(pw, (i, 0), (i + 1, TBH))
+                rest = jax.lax.slice(pw, (i + 1, 0), (W, TBH))
+                x = rest ^ row
+                t = x + 0x7FFF7FFF
+                nep = (t >> 15) & 0x00010001  # ne flags at bit0 / bit16
+                tot_s[i + 1:W, :] = tot_s[i + 1:W, :] + nep
+                s = jnp.sum(nep, axis=0, keepdims=True)
+                aft_s[i:i + 1, :] = s
+                tot_s[i:i + 1, :] = tot_s[i:i + 1, :] + s
+            tot_p = tot_s[:W, :]
+            aft_p = aft_s[:W, :]
+            tot_ne = jnp.concatenate(
+                [tot_p & 0xFFFF, (tot_p >> 16) & 0xFFFF], axis=1)
+            aft_ne = jnp.concatenate(
+                [aft_p & 0xFFFF, (aft_p >> 16) & 0xFFFF], axis=1)
+            total = W - tot_ne  # eq-count incl. self, as in the pairwise form
             M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)
-            # lastmax == widx marks the last occurrence of each code
-            cand = validw & (total == M) & (lastmax == widx) & (M > 0)
+            # last occurrence of a code <=> nothing after it matches
+            is_last = aft_ne == (W - 1 - widx)
+            cand = validw & (total == M) & is_last & (M > 0)
             jstar = jnp.min(jnp.where(cand, widx, W), axis=0, keepdims=True)
             sel = cand & (widx == jstar)
             modal = jnp.max(jnp.where(sel, wmin, NEG), axis=0, keepdims=True)
@@ -228,6 +249,8 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
             pltpu.VMEM((L, TILE_B), jnp.int32),       # 2-bit codes
             pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # wmin rows (W <= L/2)
             pltpu.VMEM((L, TILE_B), jnp.int32),       # match rows
+            pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne totals
+            pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne-after
         ],
         interpret=interpret,
     )(bases_T, lengths.reshape(1, B), te, tp)

@@ -8,7 +8,9 @@ off, multiref slices, detached + downstream mates, CRAI region queries, the
 no-coor scan, and the rANS4x8 codec itself.
 """
 
+import os
 import random
+import subprocess
 
 import numpy as np
 import pytest
@@ -541,3 +543,55 @@ def test_tok3_fuzz_no_crash():
         for trial in (bytes(mutated), bytes(enc[:cut])):
             out = np.zeros(len(blob) + 1, np.uint8)
             lib.sio_tok3_decode(trial, len(trial), len(blob), out, len(out))
+
+
+# ------------------------------------------- required-fields decode skipping
+
+
+def test_stored_qualities_skip_equivalence(paths, tmp_path):
+    """CRAMs with stored quality scores (cf&0x1, QS series) must decode to
+    identical records whether the QS blocks are skipped (default,
+    CRAM_OPT_REQUIRED_FIELDS equivalent) or fully decoded
+    (STRLING_CRAM_DECODE_ALL=1 in a subprocess, since the switch is read
+    once)."""
+    rng = random.Random(9)
+    recs = []
+    for r in paths["recs"]:
+        r2 = BamRecord(r.qname, r.flag, r.tid, r.pos, r.mapq,
+                       list(r.cigar), r.mate_tid, r.mate_pos, r.isize, r.seq,
+                       qual=bytes(rng.randrange(0, 42) for _ in r.seq))
+        recs.append(r2)
+    p = tmp_path / "qual.cram"
+    write_cram(str(p), HEADER, TARGETS, recs, fasta=paths["fa"])
+    # default mode (skipping active): records equal the BAM
+    assert_same_records(paths["bam"], str(p), fasta=paths["fa"])
+
+    # decode-all mode in a subprocess must yield the same flat record dump
+    script = tmp_path / "dump.py"
+    script.write_text(
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "sys.path.insert(0, %r)\n"
+        "from strling_tpu.io.bam import Bam\n"
+        "from test_cram import collect\n"
+        "c = Bam(sys.argv[1], fasta=sys.argv[2])\n"
+        "recs = collect(c.batches())\n"
+        "import hashlib\n"
+        "print(hashlib.sha256(repr(recs).encode()).hexdigest())\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           os.path.dirname(os.path.abspath(__file__)))
+    )
+    import sys as _sys2
+
+    env_skip = dict(os.environ)
+    env_skip.pop("STRLING_CRAM_DECODE_ALL", None)
+    env_full = dict(env_skip, STRLING_CRAM_DECODE_ALL="1")
+    outs = []
+    for env in (env_skip, env_full):
+        r = subprocess.run(
+            [_sys2.executable, str(script), str(p), paths["fa"]],
+            capture_output=True, timeout=120, env=env,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1]

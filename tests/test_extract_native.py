@@ -50,12 +50,66 @@ def test_native_matches_python_with_index(str_bam):
 def test_native_small_batches(str_bam):
     """Batch boundaries must not change pairing results."""
     from strling_tpu.io.extract_native import NativeExtractor
-    from strling_tpu.ops.kmer import scan_codes_dispatch
 
     bam = Bam(str_bam)
     fd = native_frag_hist(bam)
     med = fraglen.median(fd)
     ne = NativeExtractor(bam, 0.8, 40, med, batch_records=64)
-    tb_small = ne.run(lambda b, l, p: scan_codes_dispatch(b, l, p, bucket=256))
+    tb_small = ne.run(buckets=(256,))
     tb_py, _, _ = extract(Bam(str_bam), None, None)
     _cmp(tb_small, tb_py)
+
+
+def test_fused_payload_matches_python_fuse(str_bam):
+    """sio_ex_next_fused must emit rows byte-identical to ops.kmer's
+    fuse_payload over the same ASCII rows (2-bit codes, N bitmask, and the
+    double-precision te/tp thresholds)."""
+    from strling_tpu.io.extract_native import NativeExtractor
+    from strling_tpu.ops.kmer import fuse_payload
+
+    med = fraglen.median(native_frag_hist(Bam(str_bam)))
+    # ascii rows via the legacy path
+    ne1 = NativeExtractor(Bam(str_bam), 0.8, 40, med)
+    rows1, n1, bases, lengths, props = ne1._next()
+    # fused rows via the new path
+    ne2 = NativeExtractor(Bam(str_bam), 0.8, 40, med)
+    rows2, n2, payload, ascii_rows = ne2._next_fused()
+    assert (rows1, n1) == (rows2, n2) and rows1 > 0
+    assert ascii_rows is None, "ACGT-only data must not fall back"
+    want = fuse_payload(bases[:rows1], lengths[:rows1], props[:rows1])
+    np.testing.assert_array_equal(payload, want)
+
+
+def test_fused_payload_iupac_fallback(tmp_path):
+    """A batch containing a non-ACGTN base must fall back to ASCII rows (the
+    2-bit code of e.g. 'R' is not recoverable; parity requires the raw
+    bytes)."""
+    from test_extract import HEADER, TARGETS
+    from strling_tpu.io.bamwrite import BamRecord, write_bam
+    from strling_tpu.io.extract_native import NativeExtractor
+
+    rng = np.random.default_rng(3)
+    alphabet = np.array(list("ACGT"))
+    recs = []
+    for i in range(50):
+        pos = 1000 + i * 37
+        s = "".join(alphabet[rng.integers(0, 4, 100)])
+        if i == 25:
+            s = s[:50] + "R" + s[51:]
+        isz = 300
+        recs.append(BamRecord(f"p{i}", 99, 0, pos, 60, "100M", 0, pos + 200,
+                              isz, s))
+        recs.append(BamRecord(f"p{i}", 147, 0, pos + 200, 60, "100M", 0, pos,
+                              -isz, "".join(alphabet[rng.integers(0, 4, 100)])))
+    recs.sort(key=lambda r: r.pos)
+    p = tmp_path / "iupac.bam"
+    write_bam(str(p), HEADER, TARGETS, recs)
+    ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350)
+    rows, n, payload, ascii_rows = ne._next_fused()
+    assert rows > 0 and payload is None and ascii_rows is not None
+    bases, lengths, props = ascii_rows
+    assert any(b"R" in bytes(bases[r, : lengths[r]]) for r in range(rows))
+    # and the full engine still produces results equal to the Python path
+    tb_nat, _, _ = extract_native(Bam(str(p)), None, None)
+    tb_py, _, _ = extract(Bam(str(p)), None, None)
+    _cmp(tb_nat, tb_py)

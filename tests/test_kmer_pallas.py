@@ -74,3 +74,39 @@ def test_pallas_fixtures():
     units = unpack_unit_codes(np.asarray(code), np.asarray(klen))
     assert units == ["CTG", "A", ""]
     assert cnt.tolist() == [49, 150, 0]
+
+
+def test_pallas_modal_tiebreak_adversarial():
+    """Reads engineered so two window codes tie on count: winner must be the
+    code whose LAST occurrence comes earliest (the reference CountTable
+    running-argmax semantics, utils.nim:192-211), exercising the triangular
+    is_last tie-break path for k>=3."""
+    reads = [
+        # k=3 windows alternate CAG/TTG: equal counts, CAG's last
+        # occurrence earlier in one phase, later in the other
+        "CAGTTG" * 25,
+        "TTGCAG" * 25,
+        # trailing singleton breaks the tie asymmetrically
+        "CAGTTG" * 24 + "CAG",
+        "TTGCAG" * 24 + "TTG",
+        # three-way tie among k=2 and k=4 candidates
+        "ATGC" * 30,
+        "ACGTAACC" * 15,
+        # tie between k=5 codes
+        ("AAGGG" + "CCTTT") * 15,
+        # short reads right at window-count boundaries
+        "CAGCAG",
+        "CAGCAGC",
+        "ATATAT",
+    ]
+    props = [0.3] * len(reads)  # low threshold so ties actually report
+    bases, lengths, props = _batch(reads, props)
+    te, tp = _host_thresholds(lengths, props)
+    code, klen, cnt = get_repeat_device_pallas(
+        bases, lengths, te, tp, interpret=True
+    )
+    units = unpack_unit_codes(np.asarray(code), np.asarray(klen))
+    for i, (r, p) in enumerate(zip(reads, [0.3] * len(reads))):
+        exp_unit, exp_count = oracle.get_repeat(r, p)
+        assert units[i] == exp_unit, (i, r, units[i], exp_unit)
+        assert int(cnt[i]) == exp_count, (i, r, int(cnt[i]), exp_count)
