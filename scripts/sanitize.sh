@@ -1,0 +1,103 @@
+#!/usr/bin/env bash
+# Sanitizer runs for the multithreaded native code (BgzfMT block decode,
+# parallel CRAM container decode): TSAN on clean scans, ASAN+UBSAN over a
+# malformed-CRAM fuzz corpus. Usage: scripts/sanitize.sh <bam> <cram> <fasta>
+# (corpus generated on the fly from the cram's records; see
+# tests/test_cram.py::test_malformed_cram_fails_cleanly for the protocol).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+BAM=${1:?bam}; CRAM=${2:?cram}; FASTA=${3:?fasta}
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+
+cat > "$TMP/scan.cc" <<'EOF'
+#include <cstdio>
+#include <cstdint>
+#include <cstdlib>
+extern "C" {
+  void* sio_open(const char* path);
+  int sio_set_fasta(void* h, const char* path);
+  void sio_close(void* h);
+  int sio_begin(void* h, int mode, int tid, int64_t beg, int64_t end);
+  int64_t sio_next_batch(void* vh, int64_t cap, int Lmax, int32_t* tid,
+                         int32_t* pos, uint16_t* flag, uint8_t* mapq,
+                         int32_t* mate_tid, int32_t* mate_pos, int32_t* isize,
+                         int32_t* read_len, int32_t* end_pos, int32_t* lclip,
+                         int32_t* rclip, int32_t* ins_sum, int32_t* del_sum,
+                         uint8_t* seq, uint32_t* cigar_buf, int64_t cigar_cap,
+                         int64_t* cigar_off, char* qname_buf, int64_t qname_cap,
+                         int64_t* qname_off);
+}
+int main(int argc, char** argv) {
+  void* h = sio_open(argv[1]);
+  if (!h) { fprintf(stderr, "open failed\n"); return 1; }
+  if (argc > 2 && argv[2][0]) sio_set_fasta(h, argv[2]);
+  const int64_t CAP = 4096; const int L = 160;
+  static int32_t tid[CAP], pos[CAP], mtid[CAP], mpos[CAP], isz[CAP], rl[CAP],
+      ep[CAP], lc[CAP], rc[CAP], ins[CAP], del[CAP];
+  static uint16_t flag[CAP]; static uint8_t mapq[CAP];
+  static uint8_t seq[CAP * L]; static uint32_t cig[CAP * 64];
+  static int64_t coff[CAP + 1]; static char qn[CAP * 64];
+  static int64_t qoff[CAP + 1];
+  int64_t total = 0, n;
+  sio_begin(h, 0, -1, 0, 0);
+  while ((n = sio_next_batch(h, CAP, L, tid, pos, flag, mapq, mtid, mpos, isz,
+                             rl, ep, lc, rc, ins, del, seq, cig, CAP * 64,
+                             coff, qn, CAP * 64, qoff)) > 0)
+    total += n;
+  printf("total=%ld\n", (long)total);
+  sio_close(h);
+  return n < 0 ? 3 : 0;
+}
+EOF
+
+SRC="strling_tpu/io/csrc"
+echo "[sanitize] TSAN build" >&2
+g++ -fsanitize=thread -O1 -g -std=c++17 -pthread "$TMP/scan.cc" $SRC/*.cc \
+    -o "$TMP/tsan_scan" -ldeflate -lz
+echo "[sanitize] TSAN: BAM scan (BgzfMT)" >&2
+"$TMP/tsan_scan" "$BAM" 2> "$TMP/tsan1.log"
+echo "[sanitize] TSAN: CRAM scan x3 (parallel container decode)" >&2
+for i in 1 2 3; do "$TMP/tsan_scan" "$CRAM" "$FASTA" 2>> "$TMP/tsan2.log"; done
+if grep -q "WARNING: ThreadSanitizer" "$TMP"/tsan*.log; then
+  echo "[sanitize] TSAN FAILURES:" >&2
+  cat "$TMP"/tsan*.log >&2
+  exit 1
+fi
+
+echo "[sanitize] ASAN+UBSAN build" >&2
+g++ -fsanitize=address,undefined -O1 -g -std=c++17 -pthread "$TMP/scan.cc" \
+    $SRC/*.cc -o "$TMP/asan_scan" -ldeflate -lz
+echo "[sanitize] fuzz corpus (truncations + bit flips)" >&2
+python - "$CRAM" "$TMP/corpus" <<'PY'
+import random, os, sys
+cram, out = sys.argv[1], sys.argv[2]
+os.makedirs(out, exist_ok=True)
+blob = bytearray(open(cram, "rb").read())
+rng = random.Random(77)
+i = 0
+for frac in (0.05, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+    open(f"{out}/c{i:03d}.cram", "wb").write(bytes(blob[:int(len(blob)*frac)])); i += 1
+for _ in range(40):
+    m = bytearray(blob)
+    for _ in range(rng.randrange(1, 10)):
+        k = rng.randrange(30, len(m)); m[k] ^= 1 << rng.randrange(8)
+    open(f"{out}/c{i:03d}.cram", "wb").write(bytes(m)); i += 1
+print(i)
+PY
+bad=0
+for f in "$TMP"/corpus/c*.cram; do
+  set +e
+  ASAN_OPTIONS=abort_on_error=1 UBSAN_OPTIONS=halt_on_error=1 \
+    timeout 30 "$TMP/asan_scan" "$f" "$FASTA" > /dev/null 2> "$TMP/asan.log"
+  rc=$?
+  set -e
+  if [ $rc -ge 128 ] || grep -q "ERROR: AddressSanitizer\|runtime error" "$TMP/asan.log"; then
+    bad=$((bad+1)); echo "[sanitize] ASAN/UBSAN failure on $f:" >&2
+    head -30 "$TMP/asan.log" >&2
+  fi
+done
+[ "$bad" -eq 0 ] || exit 1
+ASAN_OPTIONS=abort_on_error=1 "$TMP/asan_scan" "$CRAM" "$FASTA" > /dev/null
+ASAN_OPTIONS=abort_on_error=1 "$TMP/asan_scan" "$BAM" > /dev/null
+echo "[sanitize] OK: TSAN clean, ASAN+UBSAN clean over corpus" >&2

@@ -1,15 +1,26 @@
 #!/usr/bin/env python
-"""Random STR-allele simulation sweep with truth-vs-call aggregation.
+"""STR-allele simulation sweeps with truth-vs-call aggregation.
 
-Equivalent of the reference's sim/random_str_alleles.py +
-sim/simulate_random.groovy + sim/combine_random_sim_results.py: simulate a
-range of allele sizes at random (novel) loci, run extract -> call on each
-simulated sample, and aggregate concordance against the simulated truth into
-one CSV.
+Reimplements the reference's offline accuracy-evaluation protocol
+(/root/reference/sim/simulate_random.groovy:16-24, sim/random_str_alleles.py,
+sim/combine_random_sim_results.py, sim/disease_loci_sims_minpath.bed) against
+this framework:
+
+  random   N samples at one locus, allele1 fixed, allele2 uniform in
+           [--min-units, --max-units] (reference: 300 samples, 0..600 units,
+           simulate_random.groovy:16-24). Joint protocol exactly as the
+           reference pipeline: per-sample extract -> joint merge -> per-sample
+           call with the merged bounds -> combined truth-vs-called CSV.
+  disease  the reference's 22 disease-locus allele configs
+           (sim/disease_loci_sims_minpath.bed: same units + allele counts,
+           incl. deletion alleles) planted at synthetic loci, since no hg38
+           FASTA exists in this environment; single-sample extract -> call.
+  Both modes write <out>/sweep_results.csv plus a size-binned sensitivity /
+  concordance summary to stdout and <out>/summary.md.
 
 Usage:
-  python scripts/sim_sweep.py --fasta ref.fa --out sweep/ \
-      [--n-loci 8] [--max-units 300] [--depth 30] [--seed 7]
+  python scripts/sim_sweep.py random  --out sweep/ [--n-samples 60]
+  python scripts/sim_sweep.py disease --out dis/   [--depth 30]
 """
 
 from __future__ import annotations
@@ -23,51 +34,138 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# the axon sitecustomize pins the TPU platform and ignores the env var, so
+# honor JAX_PLATFORMS in-process before any device use
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from strling_tpu.core.call import run_call  # noqa: E402
 from strling_tpu.core.extract import extract  # noqa: E402
+from strling_tpu.core.merge import run_merge  # noqa: E402
 from strling_tpu.core.simulate import Allele, normal_hist, simulate_str_bam  # noqa: E402
 from strling_tpu.io.bam import Bam  # noqa: E402
 from strling_tpu.io.binfmt import write_bin  # noqa: E402
-from strling_tpu.io.fasta import Fasta  # noqa: E402
-from strling_tpu.ops.encode import canonical_repeat  # noqa: E402
-
-UNITS = ["A", "AT", "AAG", "CAG", "AGAT", "AAGGG", "AATGG", "GGGGCC"]
+from strling_tpu.io.fasta import Fasta, build_fai, write_fasta  # noqa: E402
+from strling_tpu.ops.encode import min_rotation, reverse_complement  # noqa: E402
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--fasta", required=True)
-    p.add_argument("--out", required=True)
-    p.add_argument("--n-loci", type=int, default=8)
-    p.add_argument("--min-units", type=int, default=0)
-    p.add_argument("--max-units", type=int, default=300)
-    p.add_argument("--steps", type=int, default=4)
-    p.add_argument("--depth", type=int, default=30)
-    p.add_argument("--flank", type=int, default=8000)
-    p.add_argument("--seed", type=int, default=7)
-    p.add_argument("--slop", type=int, default=500)
-    args = p.parse_args()
+def unit_key(u: str) -> str:
+    """Rotation- and strand-invariant repeat-unit key (the detector reports
+    min-rotation units, e.g. AGC for a CAG run; canonical_repeat is not
+    rotation-invariant on the forward strand)."""
+    return min(min_rotation(u), min_rotation(reverse_complement(u)))
 
+# the reference's 22 minimal-pathogenic disease-locus simulation configs
+# (sim/disease_loci_sims_minpath.bed): (unit, allele1, allele2). Positions are
+# synthetic here (no hg38 in this environment); units and allele counts match.
+DISEASE_CONFIGS = [
+    ("GCC", 5, 11), ("CAG", 0, 31), ("CAGG", 0, 56), ("CAG", 0, 30),
+    ("CGG", -25, 151), ("GAA", 12, 61), ("GCCCCG", 0, 52), ("CGG", 0, 182),
+    ("CAG", -5, 12), ("GCT", 0, 28), ("CGG", 3, 6), ("CAG", -10, 5),
+    ("CTG", 0, 10), ("ATTCT", 0, 850), ("CAG", 10, 42), ("CAG", -5, 13),
+    ("CTG", 0, 11), ("CTG", 5, 45), ("GGCCTG", 0, 650), ("CTG", -2, 8),
+    ("CAG", 0, 28), ("CTG", 20, 57),
+]
+
+SLOP = 500
+
+
+def _rand_genome(rng, n):
+    return "".join(np.array(list("ACGT"))[rng.integers(0, 4, n)])
+
+
+def _read_call(prefix, chrom, pos, unit):
+    """Find the call for (chrom, pos+-SLOP, canonical unit) in a genotype
+    file; returns dict or None."""
+    canon = unit_key(unit)
+    with open(prefix + "-genotype.txt") as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        for line in fh:
+            f = dict(zip(header, line.rstrip("\n").split("\t")))
+            if f["#chrom"] != chrom:
+                continue
+            if abs(int(f["left"]) - pos) > SLOP:
+                continue
+            if unit_key(f["repeatunit"]) != canon:
+                continue
+            return f
+    return None
+
+
+def _summarize(rows, out_dir, read_len=150):
+    """Size-binned sensitivity + allele2 concordance, like the aggregation
+    the reference does offline from combine_random_sim_results.py output."""
+    bins = [(0, 50), (50, 150), (150, 400), (400, 10**9)]
+    lines = [
+        "| expansion (bp) | n | called | sensitivity | median allele2 err (units) |",
+        "|---|---|---|---|---|",
+    ]
+    for lo, hi in bins:
+        sel = [r for r in rows if lo <= r["true_units"] * len(r["repeatunit"]) < hi]
+        if not sel:
+            continue
+        called = [r for r in sel if r["called"]]
+        errs = sorted(
+            abs(r["allele2_est"] - r["true_units"])
+            for r in called
+            if r["allele2_est"] == r["allele2_est"]  # not NaN
+        )
+        med = errs[len(errs) // 2] if errs else float("nan")
+        lines.append(
+            f"| {lo}-{hi if hi < 10**9 else 'inf'} | {len(sel)} | "
+            f"{len(called)} | {len(called)/len(sel):.2f} | {med:.1f} |"
+        )
+    # the key clinical metric: reads-longer-than-the-read-length expansions
+    big = [r for r in rows if r["true_units"] * len(r["repeatunit"]) >= read_len]
+    bigc = sum(1 for r in big if r["called"])
+    lines.append("")
+    lines.append(
+        f"Large-expansion (>= read length {read_len}bp) sensitivity: "
+        f"{bigc}/{len(big)}" + (f" = {bigc/len(big):.2f}" if big else "")
+    )
+    text = "\n".join(lines)
+    with open(os.path.join(out_dir, "summary.md"), "w") as fh:
+        fh.write(text + "\n")
+    print(text)
+
+
+def _write_csv(rows, out_dir):
+    out_csv = os.path.join(out_dir, "sweep_results.csv")
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"[sweep] wrote {out_csv} ({len(rows)} rows)", file=sys.stderr)
+
+
+def _genome_with_locus(out_dir, rng, unit, ref_units, glen=60_000):
+    """Synthetic genome with `ref_units` copies of `unit` planted mid-chrom."""
+    pos = glen // 2
+    g = _rand_genome(rng, glen)
+    g = g[:pos] + unit * ref_units + g[pos:]
+    fa = os.path.join(out_dir, "ref.fa")
+    write_fasta(fa, {"chr1": g})
+    build_fai(fa, fa + ".fai")
+    return fa, "chr1", pos
+
+
+def run_random(args):
     os.makedirs(args.out, exist_ok=True)
-    fai = Fasta(args.fasta)
     rng = np.random.default_rng(args.seed)
     hist = normal_hist(400, 60)
-
-    configs = []
-    for i in range(args.n_loci):
-        chrom = fai.names[int(rng.integers(0, len(fai.names)))]
-        L = fai.chrom_len(chrom)
-        pos = int(rng.integers(args.flank + 1000, max(args.flank + 2000, L - args.flank - 5000)))
-        unit = UNITS[int(rng.integers(0, len(UNITS)))]
-        for count in np.linspace(args.min_units, args.max_units, args.steps).astype(int):
-            configs.append((i, chrom, pos, unit, int(count)))
-
-    rows = []
-    for i, chrom, pos, unit, count in configs:
-        tag = f"l{i}_{unit}_{count}"
+    # reference: one locus, CAG, allele1 fixed 0, allele2 uniform 0..600
+    # (random_str_alleles.py --min 0 --max 600 --fixed 0)
+    fa, chrom, pos = _genome_with_locus(args.out, rng, args.unit, 10)
+    truth = []
+    bins = []
+    for s in range(args.n_samples):
+        a2 = int(rng.integers(args.min_units, args.max_units + 1))
+        tag = f"s{s:03d}"
         bam_path = os.path.join(args.out, tag + ".bam")
         simulate_str_bam(
-            args.fasta, [Allele(chrom, pos, (0, count), unit)], bam_path,
+            fa, [Allele(chrom, pos, (args.fixed, a2), args.unit)], bam_path,
             hist, depth=args.depth, flank=args.flank,
             seed=int(rng.integers(0, 1 << 31)),
         )
@@ -75,45 +173,99 @@ def main():
         treads, frag_dist, _ = extract(bam, None, None)
         bin_path = os.path.join(args.out, tag + ".bin")
         write_bin(bin_path, treads, frag_dist, bam.header_text, 0.8, 40)
+        truth.append((tag, bam_path, bin_path, a2))
+        bins.append(bin_path)
+        print(f"[sweep] simulated {tag}: allele2={a2}", file=sys.stderr)
+
+    # joint discovery across the cohort, then per-sample call with the merged
+    # bounds (the reference pipeline: str_merge + "%.bin" * [str_call])
+    merged_prefix = os.path.join(args.out, "joint")
+    run_merge(bins, output_prefix=merged_prefix)
+
+    rows = []
+    for tag, bam_path, bin_path, a2 in truth:
         prefix = os.path.join(args.out, tag)
-        run_call(bam_path, bin_path, output_prefix=prefix)
-
-        canon = canonical_repeat(unit)
-        called = False
-        est = float("nan")
-        sum_str = 0
-        with open(prefix + "-genotype.txt") as fh:
-            header = fh.readline().rstrip("\n").split("\t")
-            for line in fh:
-                f = dict(zip(header, line.rstrip("\n").split("\t")))
-                if f["#chrom"] != chrom:
-                    continue
-                if abs(int(f["left"]) - pos) > args.slop:
-                    continue
-                if canonical_repeat(f["repeatunit"]) != canon:
-                    continue
-                called = True
-                est = float(f["allele2_est"])
-                sum_str = int(f["sum_str_counts"])
-                break
+        run_call(bam_path, bin_path, bounds_path=merged_prefix + "-bounds.txt",
+                 output_prefix=prefix)
+        f = _read_call(prefix, chrom, pos, args.unit)
         rows.append(
-            dict(locus=i, chrom=chrom, pos=pos, repeatunit=unit,
-                 true_units=count, called=int(called), allele2_est=est,
-                 sum_str_counts=sum_str)
+            dict(sample=tag, chrom=chrom, pos=pos, repeatunit=args.unit,
+                 true_a1=args.fixed, true_units=a2,
+                 called=int(f is not None),
+                 allele1_est=float(f["allele1_est"]) if f else float("nan"),
+                 allele2_est=float(f["allele2_est"]) if f else float("nan"),
+                 sum_str_counts=int(f["sum_str_counts"]) if f else 0)
         )
-        print(f"[sweep] {tag}: called={called} est={est}", file=sys.stderr)
+    _write_csv(rows, args.out)
+    _summarize(rows, args.out)
 
-    out_csv = os.path.join(args.out, "sweep_results.csv")
-    with open(out_csv, "w", newline="") as fh:
-        w = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
 
-    n_exp = sum(1 for r in rows if r["true_units"] * len(r["repeatunit"]) >= 150)
-    n_found = sum(
-        1 for r in rows if r["true_units"] * len(r["repeatunit"]) >= 150 and r["called"]
-    )
-    print(f"[sweep] wrote {out_csv}; large-expansion sensitivity {n_found}/{n_exp}")
+def run_disease(args):
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    hist = normal_hist(400, 60)
+    rows = []
+    for i, (unit, a1, a2) in enumerate(DISEASE_CONFIGS):
+        d = os.path.join(args.out, f"cfg{i:02d}_{unit}_{a1}_{a2}")
+        os.makedirs(d, exist_ok=True)
+        # reference repeat run long enough that deletion alleles can remove
+        # |a| units and still leave sequence (the real disease loci carry
+        # reference repeat runs)
+        ref_units = max(5, -a1 + 5, -a2 + 5, 30)
+        fa, chrom, pos = _genome_with_locus(d, rng, unit, ref_units)
+        bam_path = os.path.join(d, "s.bam")
+        simulate_str_bam(
+            fa, [Allele(chrom, pos, (a1, a2), unit)], bam_path, hist,
+            depth=args.depth, flank=args.flank,
+            seed=int(rng.integers(0, 1 << 31)),
+        )
+        bam = Bam(bam_path)
+        treads, frag_dist, _ = extract(bam, None, None)
+        bin_path = os.path.join(d, "s.bin")
+        write_bin(bin_path, treads, frag_dist, bam.header_text, 0.8, 40)
+        prefix = os.path.join(d, "out")
+        run_call(bam_path, bin_path, output_prefix=prefix)
+        f = _read_call(prefix, chrom, pos, unit)
+        rows.append(
+            dict(sample=f"cfg{i:02d}", chrom=chrom, pos=pos, repeatunit=unit,
+                 true_a1=a1, true_units=a2,
+                 called=int(f is not None),
+                 allele1_est=float(f["allele1_est"]) if f else float("nan"),
+                 allele2_est=float(f["allele2_est"]) if f else float("nan"),
+                 sum_str_counts=int(f["sum_str_counts"]) if f else 0)
+        )
+        print(f"[sweep] cfg{i:02d} {unit}_{a1}/{a2}: "
+              f"called={rows[-1]['called']} est={rows[-1]['allele2_est']}",
+              file=sys.stderr)
+    _write_csv(rows, args.out)
+    _summarize(rows, args.out)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    pr = sub.add_parser("random", help="random-allele sweep at one locus")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--n-samples", type=int, default=60)
+    pr.add_argument("--min-units", type=int, default=0)
+    pr.add_argument("--max-units", type=int, default=600)
+    pr.add_argument("--fixed", type=int, default=0)
+    pr.add_argument("--unit", default="CAG")
+    pr.add_argument("--depth", type=int, default=30)
+    pr.add_argument("--flank", type=int, default=10_000)
+    pr.add_argument("--seed", type=int, default=7)
+    pr.set_defaults(fn=run_random)
+
+    pd = sub.add_parser("disease", help="22 reference disease-locus configs")
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--depth", type=int, default=30)
+    pd.add_argument("--flank", type=int, default=10_000)
+    pd.add_argument("--seed", type=int, default=11)
+    pd.set_defaults(fn=run_disease)
+
+    args = p.parse_args()
+    args.fn(args)
 
 
 if __name__ == "__main__":

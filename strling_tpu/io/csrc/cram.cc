@@ -1207,12 +1207,12 @@ static void enc_use(const Encoding& e, bool* core, std::set<int>* ids) {
 }
 
 static bool cram_decode_all() {
-  static int v = -1;
-  if (v < 0) {
+  // magic static: thread-safe one-time init (decode workers race here)
+  static const bool v = [] {
     const char* e = getenv("STRLING_CRAM_DECODE_ALL");
-    v = (e && *e && *e != '0') ? 1 : 0;
-  }
-  return v == 1;
+    return e && *e && *e != '0';
+  }();
+  return v;
 }
 
 static void analyze_required_fields(CompHdr* ch) {
