@@ -29,6 +29,9 @@ def _extract(argv):
     p.add_argument("-q", "--min-mapq", type=int, default=40, help="minimum mapping quality (does not apply to STR reads)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--profile", default="", help="write a jax.profiler trace of the scan to this directory")
+    p.add_argument("--devices", default="", help="'all' or a count: round-robin scan batches over local chips (output is byte-identical)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: shard chromosomes over jax.distributed processes; process 0 writes the bin")
     p.add_argument("bam", help="path to bam file")
     p.add_argument("bin", help="path to output bin file to be created")
     args = p.parse_args(argv)
@@ -39,12 +42,23 @@ def _extract(argv):
 
     from strling_tpu.utils.profiling import maybe_trace
 
+    if args.distributed:
+        from strling_tpu.parallel.extract_dist import run_extract_dist
+
+        run_extract_dist(
+            args.bam, args.fasta or None, args.genome_repeats or None,
+            proportion_repeat=args.proportion_repeat, min_mapq=args.min_mapq,
+            output_bin=args.bin, verbose=args.verbose,
+        )
+        print("[strling] finished extraction", file=sys.stderr)
+        return
+
     bam = Bam(args.bam, fasta=args.fasta or None)
     with maybe_trace(args.profile or None, "extract"):
         treads, frag_dist, opts = extract_native(
             bam, args.fasta or None, args.genome_repeats or None,
             proportion_repeat=args.proportion_repeat, min_mapq=args.min_mapq,
-            verbose=args.verbose,
+            verbose=args.verbose, devices=args.devices or None,
         )
     print(f"[strling] writing binary file:{args.bin}", file=sys.stderr)
     write_bin(args.bin, treads, frag_dist, bam.header_text,

@@ -391,12 +391,12 @@ def extract(bam, fasta: str | None, genome_repeats_path: str | None,
 def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
                    proportion_repeat: float = 0.8, min_mapq: int = 40,
                    verbose: bool = False, genome_index: GenomeIndex | None = None,
-                   backend: str = "auto"):
+                   backend: str = "auto", devices: str | None = None):
     """Native-engine extraction: C++ streams/packs/pairs, device scans.
 
     Same results as `extract` (equivalence-tested); ~2 orders of magnitude
-    faster host side.
-    """
+    faster host side. devices="all" round-robins batches over every local
+    chip (byte-identical output — feeds stay FIFO)."""
     from strling_tpu.core.genome_index import genome_repeats as build_gi
     from strling_tpu.io.extract_native import NativeExtractor, native_frag_hist
     from strling_tpu.utils import fraglen
@@ -421,7 +421,16 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     )
     print("[strling] collecting str-like reads", file=sys.stderr)
     t0 = time.time()
-    tb = ne.run(backend=backend)
+    devs = None
+    if devices == "all":
+        import jax
+
+        devs = jax.local_devices()
+    elif devices:
+        import jax
+
+        devs = jax.local_devices()[: int(devices)]
+    tb = ne.run(backend=backend, devices=devs)
     if verbose:
         dt = max(1e-9, time.time() - t0)
         print(

@@ -147,6 +147,18 @@ struct Engine {
   std::vector<uint8_t> row_bases;
   std::vector<int32_t> row_len;
   std::vector<double> row_prop;
+  // sharded (multi-host) mode: iterate only the owned tids (+ optionally
+  // the no-coor block); an after-mate lookup miss then means "mate lives in
+  // another shard" — the read is spilled for the cross-shard pairing pass
+  // instead of dropped (extract.nim:199 drops it: there a miss means a
+  // duplicate/missing mate)
+  bool sharded = false;
+  std::vector<int32_t> shard_tids;
+  std::vector<bool> owned;  // tid -> owned by this shard
+  size_t shard_i = 0;
+  bool shard_unplaced = false;
+  bool noc_pass0 = false;  // first (sequential-tail-equivalent) no-coor pass
+  std::vector<Tread> spill;
   // FIFO of batches awaiting kernel results (enables Python-side pipelining:
   // the next batch is read+packed while the device scans the previous one)
   std::deque<std::vector<Pending>> queue;
@@ -188,7 +200,19 @@ struct Engine {
     std::string seq;
     BamRec r;
     if (!begun) {
-      src->begin(0, -1, 0, 0);
+      if (sharded) {
+        if (!shard_tids.empty()) {
+          src->begin(1, shard_tids[0], 0, src->ref_lens()[shard_tids[0]]);
+          shard_i = 1;
+        } else if (shard_unplaced) {
+          src->begin(2, -1, 0, 0);
+          noc_pass0 = true;  // second pass follows via the phase machine
+        } else {
+          phase = 2;
+        }
+      } else {
+        src->begin(0, -1, 0, 0);
+      }
       begun = true;
     }
     while ((int64_t)pending.size() < max_records && phase < 2) {
@@ -199,7 +223,25 @@ struct Engine {
         return -1;
       }
       if (rc == 0) {
+        if (sharded && phase == 0 && shard_i < shard_tids.size()) {
+          src->begin(1, shard_tids[shard_i], 0, src->ref_lens()[shard_tids[shard_i]]);
+          shard_i++;
+          continue;
+        }
+        if (sharded && phase == 0 && shard_unplaced && !noc_pass0) {
+          // the sequential whole-file scan reaches the trailing no-coor
+          // block once BEFORE the explicit query("*") pass (extract.nim:308,
+          // 326 — the block is processed twice); replicate for the shard
+          // that owns it
+          noc_pass0 = true;
+          src->begin(2, -1, 0, 0);
+          continue;
+        }
         if (phase == 0) {
+          if (sharded && !shard_unplaced) {
+            phase = 2;
+            break;
+          }
           // switch to the no-coor block (extract.nim:326: query("*"))
           phase = 1;
           src->begin(2, -1, 0, 0);
@@ -400,7 +442,19 @@ struct Engine {
 
       if (after_mate) {
         auto it = tbl.find(p.qname);
-        if (it == tbl.end()) continue;
+        if (it == tbl.end()) {
+          // In sharded mode a miss whose mate tid belongs to ANOTHER shard
+          // means the mate is remote: keep our side for the cross-shard
+          // pairing pass. Misses whose mate tid we own (or whose mate is
+          // unmapped-no-coor, mate_tid -1) are genuine drops, exactly as in
+          // the reference (extract.nim:199).
+          if (sharded && p.mate_tid >= 0 &&
+              (p.mate_tid >= (int32_t)owned.size() || !owned[p.mate_tid])) {
+            add_soft(p, /*first=*/false, tr.repeat);
+            spill.push_back(std::move(tr));
+          }
+          continue;
+        }
         Tread mate = std::move(it->second);
         tbl.erase(it);
         add_soft(p, /*first=*/false, tr.repeat);
@@ -422,6 +476,13 @@ struct Engine {
         if (adjust_by(tr, mate, mp)) out.push_back(tr);
       } else {
         add_soft(p, /*first=*/true, tr.repeat);
+        if (sharded && p.mate_tid >= 0 &&
+            (p.mate_tid >= (int32_t)owned.size() || !owned[p.mate_tid])) {
+          // mate is in another shard: it can never arrive in this stream —
+          // spill for the cross-shard pairing pass instead of caching
+          spill.push_back(std::move(tr));
+          continue;
+        }
         auto ins = tbl.emplace(p.qname, tr);
         if (!ins.second) {
           fprintf(stderr,
@@ -559,6 +620,54 @@ int sio_ex_feed(void* ve, const int32_t* unit_code, const int32_t* unit_len,
 }
 
 int sio_ex_done(void* ve) { return ((Engine*)ve)->phase >= 2 ? 1 : 0; }
+
+// Restrict the engine to a tid shard (multi-host extract). Must be called
+// before the first sio_ex_next*; tids are iterated in the given order via
+// index region queries. include_unplaced additionally scans the no-coor
+// block (exactly one shard should own it).
+int sio_ex_set_shard(void* ve, const int32_t* tids, int64_t n_tids,
+                     int include_unplaced) {
+  Engine* e = (Engine*)ve;
+  if (e->begun) return -1;
+  e->sharded = true;
+  e->shard_tids.assign(tids, tids + n_tids);
+  int n = (int)e->gi_starts.size();
+  e->owned.assign(n, false);
+  for (int64_t i = 0; i < n_tids; i++)
+    if (tids[i] >= 0 && tids[i] < n) e->owned[tids[i]] = true;
+  e->shard_unplaced = include_unplaced != 0;
+  return 0;
+}
+
+int64_t sio_ex_n_spill(void* ve) {
+  return (int64_t)((Engine*)ve)->spill.size();
+}
+
+int64_t sio_ex_get_spill(void* ve, int32_t* tid, uint32_t* position,
+                         uint8_t* repeat6, uint16_t* flag, uint8_t* split,
+                         uint8_t* mapq, uint8_t* repeat_count,
+                         uint8_t* align_length, char* qname_buf,
+                         int64_t qname_cap, int64_t* qname_off) {
+  Engine* e = (Engine*)ve;
+  int64_t qoff = 0;
+  qname_off[0] = 0;
+  for (size_t i = 0; i < e->spill.size(); i++) {
+    const Tread& t = e->spill[i];
+    tid[i] = t.tid;
+    position[i] = t.position;
+    memcpy(repeat6 + 6 * i, t.repeat, 6);
+    flag[i] = t.flag;
+    split[i] = t.split;
+    mapq[i] = t.mapq;
+    repeat_count[i] = t.repeat_count;
+    align_length[i] = t.align_length;
+    if (qoff + (int64_t)t.qname.size() > qname_cap) return -1;
+    memcpy(qname_buf + qoff, t.qname.data(), t.qname.size());
+    qoff += (int64_t)t.qname.size();
+    qname_off[i + 1] = qoff;
+  }
+  return (int64_t)e->spill.size();
+}
 
 int64_t sio_ex_nreads(void* ve) { return ((Engine*)ve)->nreads; }
 

@@ -51,6 +51,16 @@ def _bind(lib):
     lib.sio_frag_hist.argtypes = [
         C.c_void_p, C.c_int64, C.c_int64, P(np.uint32), C.POINTER(C.c_int32),
     ]
+    lib.sio_ex_set_shard.restype = C.c_int
+    lib.sio_ex_set_shard.argtypes = [C.c_void_p, P(np.int32), C.c_int64, C.c_int]
+    lib.sio_ex_n_spill.restype = C.c_int64
+    lib.sio_ex_n_spill.argtypes = [C.c_void_p]
+    lib.sio_ex_get_spill.restype = C.c_int64
+    lib.sio_ex_get_spill.argtypes = [
+        C.c_void_p, P(np.int32), P(np.uint32), P(np.uint8), P(np.uint16),
+        P(np.uint8), P(np.uint8), P(np.uint8), P(np.uint8), C.c_char_p,
+        C.c_int64, P(np.int64),
+    ]
     lib.sio_ex_error.restype = C.c_char_p
     lib.sio_ex_error.argtypes = [C.c_void_p]
 
@@ -170,29 +180,35 @@ class NativeExtractor:
             )
 
     def run(self, backend: str = "auto", depth: int = 4,
-            buckets: tuple[int, ...] | None = None) -> TreadBatch:
+            buckets: tuple[int, ...] | None = None,
+            devices: list | None = None) -> TreadBatch:
         """Pipelined loop. Each batch comes out of the C++ engine already in
         the kernel's fused wire layout; a pool of `depth` worker threads runs
         the blocking transfer→scan→fetch chain so up to `depth` device round
         trips are in flight while the main thread decodes/pairs the next
         batch. Feeds are FIFO (the C++ mate-cache state machine is
-        order-dependent; futures are drained in submission order)."""
+        order-dependent; futures are drained in submission order), so with
+        `devices` the batches round-robin over the local chips and the
+        output is byte-identical to single-device runs."""
         from collections import deque
 
         from strling_tpu.ops.kmer import scan_codes, scan_payload
 
         lib = _lib()
         buckets = buckets or self.BUCKETS
+        if devices:
+            depth = max(depth, 2 * len(devices))
         EMPTY = "empty"  # sentinel for fast-path-only batches (no scan rows)
 
-        def scan_job(payload, ascii_rows, rows, bucket):
+        def scan_job(payload, ascii_rows, rows, bucket, dev):
             if payload is not None:
                 return scan_payload(payload, rows, backend=backend,
-                                    bucket=bucket)
+                                    bucket=bucket, device=dev)
             b, l, p = ascii_rows
             return scan_codes(b[:rows], l[:rows], p[:rows], backend=backend,
                               bucket=bucket)
 
+        batch_i = 0
         inflight: deque = deque()
         with ThreadPoolExecutor(max_workers=depth) as pool:
             while True:
@@ -202,9 +218,12 @@ class NativeExtractor:
                         bucket = next(
                             (b for b in buckets if b >= rows), self.rows_cap
                         )
+                        dev = (devices[batch_i % len(devices)]
+                               if devices else None)
+                        batch_i += 1
                         inflight.append(
                             pool.submit(scan_job, payload, ascii_rows, rows,
-                                        bucket)
+                                        bucket, dev)
                         )
                     else:
                         inflight.append(EMPTY)
@@ -216,6 +235,50 @@ class NativeExtractor:
                 if done:
                     break
         return self.treads()
+
+    def set_shard(self, tids, include_unplaced: bool):
+        """Restrict this engine to a tid shard (multi-host extract); must be
+        called before the first batch. Requires an index on the input."""
+        rc = self.lib.sio_ex_set_shard(
+            self._e, np.ascontiguousarray(tids, np.int32), len(tids),
+            1 if include_unplaced else 0,
+        )
+        if rc != 0:
+            raise RuntimeError("set_shard must be called before reading")
+
+    def spill(self) -> TreadBatch:
+        """Treads whose mates live in other shards (sharded mode only)."""
+        lib = _lib()
+        n = int(lib.sio_ex_n_spill(self._e))
+        tid = np.empty(n, np.int32)
+        position = np.empty(n, np.uint32)
+        repeat6 = np.empty(n * 6, np.uint8)
+        flag = np.empty(n, np.uint16)
+        split = np.empty(n, np.uint8)
+        mapq = np.empty(n, np.uint8)
+        repeat_count = np.empty(n, np.uint8)
+        align_length = np.empty(n, np.uint8)
+        qcap = n * 256 + 16
+        qbuf = C.create_string_buffer(qcap)
+        qoff = np.empty(n + 1, np.int64)
+        rc = lib.sio_ex_get_spill(
+            self._e, tid, position, repeat6, flag, split, mapq, repeat_count,
+            align_length, qbuf, qcap, qoff,
+        )
+        if rc < 0:
+            raise IOError("qname buffer overflow")
+        data = np.zeros(n, TREAD_DTYPE)
+        data["tid"] = tid
+        data["position"] = position
+        data["repeat"] = repeat6.reshape(n, 6).view("S6").reshape(n)
+        data["flag"] = flag
+        data["split"] = split
+        data["mapping_quality"] = mapq
+        data["repeat_count"] = repeat_count
+        data["align_length"] = align_length
+        blob = qbuf.raw
+        qnames = [blob[qoff[i]: qoff[i + 1]].decode() for i in range(n)]
+        return TreadBatch(data=data, qnames=qnames)
 
     @property
     def nreads(self) -> int:

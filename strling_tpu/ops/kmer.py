@@ -494,25 +494,28 @@ def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
 
 
 def scan_payload(payload: np.ndarray, n_rows: int, backend: str = "auto",
-                 bucket: int = 4096):
+                 bucket: int = 4096, device=None):
     """Scan a pre-fused payload (rows already in fuse_payload wire layout,
     e.g. produced by the C++ engine's sio_ex_next_fused). Pads rows to
     `bucket` multiples (zero rows scan as empty reads), runs the fused jit,
     returns packed (code, len, count) int32 numpy arrays for the first
     `n_rows` rows. Blocking; thread-safe (used by the pipelined extract's
-    worker threads so transfer/fetch round-trips overlap)."""
+    worker threads so transfer/fetch round-trips overlap). `device` pins the
+    dispatch to a specific chip (multi-chip round-robin extract)."""
     R = len(payload)
     padded = max(bucket, ((R + bucket - 1) // bucket) * bucket)
     if padded != R:
         payload = np.vstack(
             [payload, np.zeros((padded - R, payload.shape[1]), np.uint8)]
         )
+    arr = (jax.device_put(payload, device) if device is not None
+           else jnp.asarray(payload))
     use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
     if use_pallas:
         from strling_tpu.ops.kmer_pallas import _pallas_fused_jit
 
-        out = _pallas_fused_jit(jnp.asarray(payload))
+        out = _pallas_fused_jit(arr)
     else:
-        out = _fused_xla_jit(jnp.asarray(payload))
+        out = _fused_xla_jit(arr)
     o = np.asarray(out)
     return o[0, :n_rows], o[1, :n_rows], o[2, :n_rows]

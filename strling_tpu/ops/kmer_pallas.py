@@ -30,6 +30,7 @@ NEG = -1
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
             codes_s, wmin_s, match_s, tot_s, aft_s):
     L, TB = bases_ref.shape
+    TBH = TB // 2
     basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
     codes = (basesi >> 1) & 3  # [L, TB]
     codes_s[:, :] = codes
@@ -38,6 +39,22 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0) < lengths
     )
     skip = n_mask.astype(jnp.int32).sum(axis=0, keepdims=True) > 20  # [1, TB]
+    # 3-bit digits for the exact-recount posgram: 2-bit code + a "not the
+    # canonical letter" flag. The reference's recount compares raw read
+    # bytes against the ACTG-decoded kmer (utils.nim:254), so N and every
+    # other IUPAC byte (which shares a 2-bit code with a real base, e.g.
+    # 'R'->'C') must never match: flag any byte that is not itself the
+    # decoded letter of its own code (A=65 C=67 T=84 G=71 == 65+2d+15*(d==2))
+    canon_ascii = 65 + 2 * codes + 15 * (codes == 2).astype(jnp.int32)
+    codes3 = codes | ((basesi != canon_ascii).astype(jnp.int32) << 2)
+    # one 6-digit gram per position; every k's posgram is a single shift of
+    # it (gram_k[j] = top 3k bits = digits j..j+k-1). Wrapped roll rows only
+    # pollute digits past k-1, which the shift discards, and rows with
+    # j+k > len are killed by the per-k length gate.
+    gram6 = jnp.zeros((L, TB), jnp.int32)
+    for m in range(6):
+        d3 = jnp.roll(codes3, -m, axis=0) if m else codes3
+        gram6 = gram6 | (d3 << (3 * (5 - m)))
 
     per_k = []
     for ki, k in enumerate(KS):
@@ -48,7 +65,7 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         # row reads go through scratch (strided value slices don't lower)
         mask = (1 << (2 * k)) - 1
 
-        def win_body(j, _):
+        def win_at(j):
             f = jnp.zeros((1, TB), jnp.int32)
             for m in range(k):  # load window
                 f = ((f << 2) | codes_s[pl.ds(j * k + m, 1), :]) & mask
@@ -56,10 +73,17 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
             for m in range(k):  # rotate
                 f = ((f << 2) | codes_s[pl.ds(j * k + m, 1), :]) & mask
                 kmin = jnp.minimum(kmin, f)
-            wmin_s[pl.ds(j, 1), :] = kmin
+            return kmin
+
+        def win_body2(j2, _):  # two windows per trip (halves loop overhead)
+            j = j2 * 2
+            wmin_s[pl.ds(j, 1), :] = win_at(j)
+            wmin_s[pl.ds(j + 1, 1), :] = win_at(j + 1)
             return 0
 
-        jax.lax.fori_loop(0, W, win_body, 0)
+        jax.lax.fori_loop(0, W // 2, win_body2, 0)
+        if W % 2:  # static tail window
+            wmin_s[W - 1:W, :] = win_at(W - 1)
         wmin = wmin_s[:W, :]
         win_end = (jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) + 1) * k
         validw = win_end <= lengths  # [W, TB]
@@ -140,36 +164,58 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         modal_eff = jnp.where(modal < 0, (1 << (2 * k)) - 1, modal)
 
         # --- exact non-overlapping recount (utils.nim:254) -----------------
-        # match[j]: decoded kmer matches bases[j..j+k) (N never matches since
-        # the decoded alphabet is ACTG and codes compare on 2 bits only for
-        # non-N bases; compare on raw bytes via re-encoded ascii)
-        # digit -> ascii without a lookup table (constant captures are not
-        # allowed in pallas): A=65 C=67 T=84 G=71 == 65 + 2*d + 15*(d==2)
-        kmer_rows = []
+        # match[j] <=> the modal kmer occurs at bases[j..j+k). One 3-bit
+        # "posgram" per position (digits are 2-bit base codes with an N flag
+        # as bit 2, so N positions can never equal the modal digits) built
+        # from k sublane rolls; a single [L,TB] compare against the packed
+        # modal code replaces k shifted ASCII compares + pad copies. Rolled
+        # wrap-around rows land at j > len-k and are killed by the length
+        # gate. The result is lane-packed 2-reads-per-i32 for the blocked
+        # greedy scan below.
+        gram = gram6 >> (3 * (6 - k))
+        modal3 = jnp.zeros((1, TB), jnp.int32)
         for m in range(k):
             digit = (modal_eff >> (2 * (k - 1 - m))) & 3
-            kmer_rows.append(65 + 2 * digit + 15 * (digit == 2).astype(jnp.int32))
-        match = jnp.ones((L, TB), dtype=jnp.bool_)
-        for m in range(k):
-            shifted = jax.lax.slice(basesi, (m, 0), (L, TB))
-            shifted = jnp.pad(shifted, ((0, m), (0, 0)))
-            match = match & (shifted == kmer_rows[m])
+            modal3 = modal3 | (digit << (3 * (k - 1 - m)))
         jpos = jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0)
-        match = match & ((jpos + k) <= lengths)
-        match_s[:, :] = match.astype(jnp.int32)
+        match = ((gram == modal3) & ((jpos + k) <= lengths)).astype(jnp.int32)
+        mp = (jax.lax.slice(match, (0, 0), (L, TBH))
+              | (jax.lax.slice(match, (0, TBH), (L, TB)) << 16))
+        match_s[:L, :] = mp
+        match_s[L:, :] = jnp.zeros((8, TBH), jnp.int32)
 
-        def greedy_body(j, carry):
+        # Blocked greedy scan: within a block of k consecutive positions at
+        # most ONE match can be taken (taking j advances next_free to j+k,
+        # past the block), and it is the first match >= next_free — so the
+        # L-step sequential scan collapses to ceil(L/k) block steps with the
+        # same result as the reference's linear scan.
+        INF = L + k + 1
+
+        def greedy_blocked(b, carry):
             count, next_free = carry
-            mj = match_s[pl.ds(j, 1), :]
-            can = (mj > 0) & (j >= next_free)
-            count = count + can.astype(jnp.int32)
-            next_free = jnp.where(can, j + k, next_free)
+            base = b * k
+            jstar = jnp.full((1, TB), INF, jnp.int32)
+            for m in range(k):
+                row = match_s[pl.ds(base + m, 1), :]
+                mj = jnp.concatenate([row & 1, (row >> 16) & 1], axis=1)
+                j = base + m
+                cand = (mj > 0) & (j >= next_free)
+                jstar = jnp.minimum(jstar, jnp.where(cand, j, INF))
+            take = jstar < INF
+            count = count + take.astype(jnp.int32)
+            next_free = jnp.where(take, jstar + k, next_free)
             return count, next_free
 
-        exact, _ = jax.lax.fori_loop(
-            0, L, greedy_body,
+        exact, nfree = jax.lax.fori_loop(
+            0, L // k, greedy_blocked,
             (jnp.zeros((1, TB), jnp.int32), jnp.zeros((1, TB), jnp.int32)),
         )
+        for j in range((L // k) * k, L):  # tail rows (static)
+            row = match_s[j:j + 1, :]
+            mj = jnp.concatenate([row & 1, (row >> 16) & 1], axis=1)
+            can = (mj > 0) & (j >= nfree)
+            exact = exact + can.astype(jnp.int32)
+            nfree = jnp.where(can, j + k, nfree)
         per_k.append((kcount, exact, modal_eff))
 
     # --- k-selection state machine (utils.nim:243-269) ---------------------
@@ -248,7 +294,7 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((L, TILE_B), jnp.int32),       # 2-bit codes
             pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # wmin rows (W <= L/2)
-            pltpu.VMEM((L, TILE_B), jnp.int32),       # match rows
+            pltpu.VMEM((L + 8, TILE_B // 2), jnp.int32),  # packed match rows
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne totals
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne-after
         ],

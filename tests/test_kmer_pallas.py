@@ -110,3 +110,25 @@ def test_pallas_modal_tiebreak_adversarial():
         exp_unit, exp_count = oracle.get_repeat(r, p)
         assert units[i] == exp_unit, (i, r, units[i], exp_unit)
         assert int(cnt[i]) == exp_count, (i, r, int(cnt[i]), exp_count)
+
+
+def test_pallas_iupac_bytes_match_oracle():
+    """IUPAC bytes share 2-bit codes with real bases ('R' encodes like 'C')
+    but must never satisfy the exact-recount ASCII compare (utils.nim:254)."""
+    reads = [
+        "CAG" * 20 + "R" + "CAG" * 20,    # R interrupts the run
+        ("CAR" * 30)[:90],                # R inside every unit
+        "AT" * 30 + "RYSWKM" + "AT" * 30,
+        "R" * 60,                          # all-IUPAC read
+    ]
+    props = [0.5] * len(reads)
+    bases, lengths, props = _batch(reads, props)
+    te, tp = _host_thresholds(lengths, props)
+    code, klen, cnt = get_repeat_device_pallas(
+        bases, lengths, te, tp, interpret=True
+    )
+    units = unpack_unit_codes(np.asarray(code), np.asarray(klen))
+    for i, (r, p) in enumerate(zip(reads, [0.5] * len(reads))):
+        exp_unit, exp_count = oracle.get_repeat(r, p)
+        assert units[i] == exp_unit, (i, r, units[i], exp_unit)
+        assert int(cnt[i]) == exp_count, (i, r, int(cnt[i]), exp_count)
