@@ -1,6 +1,6 @@
 """Python driver for the native C++ extract engine.
 
-Pipelined loop (default 4 batches in flight): the C++ engine reads, pairs
+Pipelined loop (default 8 batches in flight): the C++ engine reads, pairs
 and packs each batch directly into the kernel's fused wire payload
 (sio_ex_next_fused — one uint8 buffer per batch, ~62B per 160bp row), and a
 small worker-thread pool runs the device dispatch + result fetch so the
@@ -145,10 +145,12 @@ class NativeExtractor:
 
     def _next_fused(self):
         """Fused-payload batch: returns (rows, n_records, payload|None,
-        ascii-tuple|None). payload rows are already in the kernel wire
-        layout; the ascii tuple is only filled on the rare IUPAC fallback."""
+        ascii-tuple|None). The payload buffer is pre-zeroed and rows_cap
+        tall, so the scan can use it as an already-padded bucket directly
+        (zero rows scan as empty reads — no Python-side pad copy). The
+        ascii tuple is only filled on the rare IUPAC fallback."""
         rowW = 3 * self.Lmax // 8 + 22
-        payload = np.empty((self.rows_cap, rowW), np.uint8)
+        payload = np.zeros((self.rows_cap, rowW), np.uint8)
         bases = np.empty((self.rows_cap, self.Lmax), np.uint8)
         lengths = np.empty(self.rows_cap, np.int32)
         props = np.empty(self.rows_cap, np.float64)
@@ -164,7 +166,7 @@ class NativeExtractor:
         rows = int(rows)
         if fb.value:
             return rows, int(n_records.value), None, (bases, lengths, props)
-        return rows, int(n_records.value), payload[:rows], None
+        return rows, int(n_records.value), payload, None
 
     def _feed(self, result):
         lib = _lib()
@@ -179,7 +181,7 @@ class NativeExtractor:
                 np.ascontiguousarray(cnt, np.int32), len(code),
             )
 
-    def run(self, backend: str = "auto", depth: int = 4,
+    def run(self, backend: str = "auto", depth: int = 8,
             buckets: tuple[int, ...] | None = None,
             devices: list | None = None) -> TreadBatch:
         """Pipelined loop. Each batch comes out of the C++ engine already in
@@ -202,7 +204,10 @@ class NativeExtractor:
 
         def scan_job(payload, ascii_rows, rows, bucket, dev):
             if payload is not None:
-                return scan_payload(payload, rows, backend=backend,
+                # the buffer is pre-zeroed and rows_cap tall: slicing to the
+                # bucket IS the padding (no copy); short slices are padded
+                # inside scan_payload
+                return scan_payload(payload[:bucket], rows, backend=backend,
                                     bucket=bucket, device=dev)
             b, l, p = ascii_rows
             return scan_codes(b[:rows], l[:rows], p[:rows], backend=backend,

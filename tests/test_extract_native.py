@@ -77,7 +77,8 @@ def test_fused_payload_matches_python_fuse(str_bam):
     assert (rows1, n1) == (rows2, n2) and rows1 > 0
     assert ascii_rows is None, "ACGT-only data must not fall back"
     want = fuse_payload(bases[:rows1], lengths[:rows1], props[:rows1])
-    np.testing.assert_array_equal(payload, want)
+    np.testing.assert_array_equal(payload[:rows1], want)
+    assert not payload[rows1:].any()  # pre-padded tail stays zero
 
 
 def test_fused_payload_iupac_fallback(tmp_path):
