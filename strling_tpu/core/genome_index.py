@@ -20,7 +20,8 @@ import numpy as np
 
 from strling_tpu.io.fasta import Fasta
 from strling_tpu.ops import oracle
-from strling_tpu.ops.kmer import get_repeat_batch, units_to_strings
+from strling_tpu.ops.kmer import scan_codes
+from strling_tpu.ops.kmer_pallas import unpack_unit_codes
 from strling_tpu.utils.options import Options
 
 WINDOW_SIZE = 100  # genome_strs.nim:122
@@ -69,10 +70,11 @@ def trim(w: Window, dna: str) -> Window:
 
 
 def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
-                   step: int = STEP, batch_windows: int = 4096):
+                   step: int = STEP, batch_windows: int = 32768):
     """Yield merged, trimmed STR windows over every chromosome
     (genome_strs.nim:61-92), with the per-window repeat detection batched
-    through the device kernel."""
+    through the device kernel (fused 2-bit payload, 32k-window batches —
+    a human genome is ~53M windows, so transfer width matters)."""
     for chrom in fai.names:
         L = fai.chrom_len(chrom)
         if L > 2_000_000:
@@ -97,11 +99,16 @@ def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
             lens = lens_all[b0 : b0 + batch_windows].astype(np.int32)
             # zero the padding tail of short windows (strided view may carry
             # neighbouring chrom bytes only for the final windows, which the
-            # pad suffix already zeroes)
-            unit, ulen, count = get_repeat_batch(
-                bases, lens, np.full(len(lens), opts.proportion_repeat)
+            # pad suffix already zeroes). Windows are width 100 (not /8);
+            # pad columns to a multiple of 8 for the fused 2-bit path.
+            if bases.shape[1] % 8:
+                padc = 8 - bases.shape[1] % 8
+                bases = np.pad(bases, ((0, 0), (0, padc)))
+            code, ulen, count = scan_codes(
+                bases, lens, np.full(len(lens), opts.proportion_repeat),
+                bucket=batch_windows,
             )
-            units_all.extend(units_to_strings(unit, ulen))
+            units_all.extend(unpack_unit_codes(code, ulen))
             counts_all.extend(count.tolist())
 
         last_w = Window(stop=-1)

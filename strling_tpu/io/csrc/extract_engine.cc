@@ -581,7 +581,9 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
     *used_fallback = 1;
     return rows;
   }
-  const int64_t rowW = 3 * (int64_t)Lmax / 8 + 22;
+  // u8 meta when thresholds/length fit a byte (ops/kmer.py fuse_payload)
+  const bool meta8 = Lmax <= 248 && e->proportion_repeat <= 1.0;
+  const int64_t rowW = 3 * (int64_t)Lmax / 8 + (meta8 ? 11 : 22);
   for (int64_t r = 0; r < rows; r++) {
     const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
     uint8_t* dst = payload + r * rowW;
@@ -595,15 +597,25 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
       for (int i = 0; i < 8; i++) b |= (uint8_t)(src[j + i] == 'N') << i;
       nb[j >> 3] = b;
     }
-    uint16_t* meta = (uint16_t*)(dst + 3 * Lmax / 8);
     const double L = (double)e->row_len[r];
     const double prop = e->row_prop[r];
-    for (int ki = 0; ki < 5; ki++) {
-      const double k = (double)(ki + 2);
-      meta[ki] = (uint16_t)(int64_t)(L * 0.12 / k);
-      meta[5 + ki] = (uint16_t)(int64_t)(L * prop / k);
+    if (meta8) {  // u8 meta (te<=14, tp<=124, length<=248)
+      uint8_t* meta = dst + 3 * Lmax / 8;
+      for (int ki = 0; ki < 5; ki++) {
+        const double k = (double)(ki + 2);
+        meta[ki] = (uint8_t)(int64_t)(L * 0.12 / k);
+        meta[5 + ki] = (uint8_t)(int64_t)(L * prop / k);
+      }
+      meta[10] = (uint8_t)e->row_len[r];
+    } else {
+      uint16_t* meta = (uint16_t*)(dst + 3 * Lmax / 8);
+      for (int ki = 0; ki < 5; ki++) {
+        const double k = (double)(ki + 2);
+        meta[ki] = (uint16_t)(int64_t)(L * 0.12 / k);
+        meta[5 + ki] = (uint16_t)(int64_t)(L * prop / k);
+      }
+      meta[10] = (uint16_t)e->row_len[r];
     }
-    meta[10] = (uint16_t)e->row_len[r];
   }
   *used_fallback = 0;
   return rows;

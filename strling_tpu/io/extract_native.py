@@ -104,6 +104,7 @@ class NativeExtractor:
         # transfer width: the max read length (rounded up) bounds the packed
         # row width; 150bp data moves 160-byte rows instead of 256
         self.Lmax = min(bam.Lmax, Lmax) if Lmax else bam.Lmax
+        self.proportion_repeat = proportion_repeat
         self.batch_records = batch_records
         # rows per batch target the largest kernel tier (32768): the engine
         # stops a batch early if scan rows would exceed it
@@ -149,7 +150,9 @@ class NativeExtractor:
         tall, so the scan can use it as an already-padded bucket directly
         (zero rows scan as empty reads — no Python-side pad copy). The
         ascii tuple is only filled on the rare IUPAC fallback."""
-        rowW = 3 * self.Lmax // 8 + 22
+        # mirror the engine's meta-format choice (extract_engine.cc)
+        meta8 = self.Lmax <= 248 and self.proportion_repeat <= 1.0
+        rowW = 3 * self.Lmax // 8 + (11 if meta8 else 22)
         payload = np.zeros((self.rows_cap, rowW), np.uint8)
         bases = np.empty((self.rows_cap, self.Lmax), np.uint8)
         lengths = np.empty(self.rows_cap, np.int32)

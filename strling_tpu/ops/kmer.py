@@ -274,15 +274,20 @@ def _get_repeat_packed_jit(packed, nbits, lengths, te, tp):
 # ------------------------------------------------------- fused single-buffer
 # The tunnel costs ~26ms per host<->device call plus ~10ms/MB, so the
 # production dispatch fuses EVERYTHING (2-bit bases, N bitmask, per-row
-# u16 thresholds + length) into ONE uint8 transfer and returns ONE stacked
-# [3, B] int32 result: 2 round trips per batch instead of ~8, and 62 bytes
-# per 160bp row instead of 204.
+# thresholds + length) into ONE uint8 transfer and returns ONE packed [B]
+# int32 result: 2 round trips per batch and ~68 bytes per 160bp row instead
+# of 204. Meta is u8 when everything fits (L <= 248 -> te <= 14, tp <= 124,
+# length <= 248 — i.e. all short-read data), u16 otherwise; the two layouts
+# are distinguished by the row width mod 3 (3L/8 is a multiple of 3, and
+# 11 % 3 == 2, 22 % 3 == 1).
 
-FUSE_META = 22  # 5x te u16 + 5x tp u16 + length u16, little-endian
+FUSE_META8 = 11   # 5x te u8 + 5x tp u8 + length u8
+FUSE_META16 = 22  # 5x te u16 + 5x tp u16 + length u16, little-endian
+META8_MAX_L = 248
 
 
 def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray):
-    """[R, L] ASCII + lengths + props -> [R, 3L/8 + 22] u8 single buffer,
+    """[R, L] ASCII + lengths + props -> [R, 3L/8 + 11|22] u8 single buffer,
     or None if the batch needs the ASCII fallback (non-ACGTN bytes, L%8,
     or values exceeding u16)."""
     R, L = bases.shape
@@ -295,29 +300,52 @@ def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray):
     packed = (codes[:, 0::4] | (codes[:, 1::4] << 2) | (codes[:, 2::4] << 4)
               | (codes[:, 3::4] << 6)).astype(np.uint8)
     nbits = np.packbits(bases == ord("N"), axis=1, bitorder="little")
-    meta = np.empty((R, 11), np.uint16)
-    meta[:, :5] = te
-    meta[:, 5:10] = tp
-    meta[:, 10] = lengths
-    return np.concatenate(
-        [packed, nbits, meta.view(np.uint8)], axis=1, dtype=np.uint8
-    )
+    if L <= META8_MAX_L:
+        meta = np.empty((R, 11), np.uint8)
+        meta[:, :5] = te
+        meta[:, 5:10] = tp
+        meta[:, 10] = lengths
+        mbytes = meta
+    else:
+        meta = np.empty((R, 11), np.uint16)
+        meta[:, :5] = te
+        meta[:, 5:10] = tp
+        meta[:, 10] = lengths
+        mbytes = meta.view(np.uint8)
+    return np.concatenate([packed, nbits, mbytes], axis=1, dtype=np.uint8)
 
 
 def unfuse_payload(payload: jnp.ndarray):
-    """Device-side inverse of fuse_payload (fused into the jit)."""
+    """Device-side inverse of fuse_payload (fused into the jit). The meta
+    width is static (row width mod 3: 2 -> u8 meta, 1 -> u16 meta)."""
     R, Wp = payload.shape
-    L = (Wp - FUSE_META) * 8 // 3
+    meta_w = FUSE_META8 if Wp % 3 == 2 else FUSE_META16
+    L = (Wp - meta_w) * 8 // 3
     pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
     nb = jax.lax.slice(payload, (0, L // 4), (R, 3 * L // 8))
     meta = jax.lax.slice(payload, (0, 3 * L // 8), (R, Wp))
-    m16 = jax.lax.bitcast_convert_type(
-        meta.reshape(R, 11, 2), jnp.uint16
-    ).astype(jnp.int32)
-    te = m16[:, :5]
-    tp = m16[:, 5:10]
-    lengths = m16[:, 10]
+    if meta_w == FUSE_META8:
+        m = meta.astype(jnp.int32)
+    else:
+        m = jax.lax.bitcast_convert_type(
+            meta.reshape(R, 11, 2), jnp.uint16
+        ).astype(jnp.int32)
+    te = m[:, :5]
+    tp = m[:, 5:10]
+    lengths = m[:, 10]
     return unpack_ascii(pb, nb), lengths, te, tp
+
+
+def pack_result(code: jnp.ndarray, ulen: jnp.ndarray, cnt: jnp.ndarray):
+    """Device-side: (code<=4095, len<=6, count<=255) -> one i32 per read
+    (quarters the result transfer)."""
+    return cnt | (ulen << 8) | (code << 11)
+
+
+def unpack_result(r: np.ndarray):
+    r = np.asarray(r)
+    return (r >> 11).astype(np.int32), ((r >> 8) & 7).astype(np.int32), \
+        (r & 0xFF).astype(np.int32)
 
 
 def _unit_to_code_device(unit: jnp.ndarray, unit_len: jnp.ndarray):
@@ -333,7 +361,7 @@ def _unit_to_code_device(unit: jnp.ndarray, unit_len: jnp.ndarray):
 def _fused_xla_jit(payload):
     bases, lengths, te, tp = unfuse_payload(payload)
     unit, ulen, cnt = get_repeat_device(bases, lengths, te, tp)
-    return jnp.stack([_unit_to_code_device(unit, ulen), ulen, cnt])
+    return pack_result(_unit_to_code_device(unit, ulen), ulen, cnt)
 
 
 def _host_thresholds(lengths: np.ndarray, props: np.ndarray):
@@ -442,8 +470,8 @@ def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
                 out = _fused_xla_jit(jnp.asarray(payload))
 
             def fetch():
-                o = np.asarray(out)
-                return o[0, :R], o[1, :R], o[2, :R]
+                code, ulen, cnt = unpack_result(out)
+                return code[:R], ulen[:R], cnt[:R]
 
             return fetch
     te, tp = _host_thresholds(lengths, props)
@@ -517,5 +545,5 @@ def scan_payload(payload: np.ndarray, n_rows: int, backend: str = "auto",
         out = _pallas_fused_jit(arr)
     else:
         out = _fused_xla_jit(arr)
-    o = np.asarray(out)
-    return o[0, :n_rows], o[1, :n_rows], o[2, :n_rows]
+    code, ulen, cnt = unpack_result(out)
+    return code[:n_rows], ulen[:n_rows], cnt[:n_rows]

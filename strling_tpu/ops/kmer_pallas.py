@@ -337,13 +337,13 @@ def _pallas_packed_jit(packed, nbits, lengths, te, tp):
 
 @jax.jit
 def _pallas_fused_jit(payload):
-    """Single-transfer variant: one u8 payload in, one [3, B] i32 out.
+    """Single-transfer variant: one u8 payload in, one packed [B] i32 out.
     See ops.kmer.fuse_payload for the layout and the tunnel-cost rationale."""
-    from strling_tpu.ops.kmer import unfuse_payload
+    from strling_tpu.ops.kmer import pack_result, unfuse_payload
 
     bases, lengths, te, tp = unfuse_payload(payload)
     code, ulen, cnt = get_repeat_device_pallas(bases, lengths, te, tp)
-    return jnp.stack([code, ulen, cnt])
+    return pack_result(code, ulen, cnt)
 
 
 def unpack_unit_codes(code: np.ndarray, klen: np.ndarray) -> list[str]:
