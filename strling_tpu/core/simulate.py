@@ -119,25 +119,30 @@ def simulate_allele(fai: Fasta, allele: Allele, frag_hist: np.ndarray,
                     flank: int, depth: int, read_length: int, rng,
                     records: list[BamRecord], tid: int, ref_start: int):
     """simulate_reads.nim:30-99, emitting aligned records instead of FASTQ."""
+    win_start = max(0, allele.position - flank)
     reference = fai.get(
-        allele.chrom, max(0, allele.position - flank),
-        allele.position + flank + 4096 - 1,
+        allele.chrom, win_start, allele.position + flank + 4096 - 1,
     ).upper()
+    # index of the locus inside the fetched window — equals `flank` except
+    # near the chromosome start, where the window is clipped at 0 (searching
+    # from flank-1 there would scan an unrelated region and can latch onto a
+    # spurious unit match outside the read-sampling range)
+    anchor = allele.position - win_start
     off = reference.find(
-        allele.repeat_unit, max(0, flank - 1),
-        flank + 2 * (1 + len(allele.repeat_unit)) + len(allele.repeat_unit),
+        allele.repeat_unit, max(0, anchor - 1),
+        anchor + 1 + 2 * (1 + len(allele.repeat_unit)) + len(allele.repeat_unit),
     )
     if off == -1:
         rc = reverse_complement(allele.repeat_unit)
-        off = reference.find(rc, max(0, flank - 1),
-                             flank + 2 * (1 + len(rc)) + len(rc))
+        off = reference.find(rc, max(0, anchor - 1),
+                             anchor + 1 + 2 * (1 + len(rc)) + len(rc))
         if off == -1:
             print(
                 f"warning: couldn't find {allele.repeat_unit} around "
                 f"{allele.chrom}:{allele.position}",
                 file=sys.stderr,
             )
-            off = flank
+            off = anchor
         else:
             allele.repeat_unit = rc
 

@@ -42,6 +42,16 @@ def _load():
             C.c_char_p, C.c_int64, C.c_int64,
             np.ctypeslib.ndpointer(np.uint8), C.c_int64,
         ]
+        _lib.sio_arith_decode.restype = C.c_int64
+        _lib.sio_arith_decode.argtypes = [
+            C.c_char_p, C.c_int64, C.c_int64,
+            np.ctypeslib.ndpointer(np.uint8), C.c_int64,
+        ]
+        _lib.sio_fqz_decode.restype = C.c_int64
+        _lib.sio_fqz_decode.argtypes = [
+            C.c_char_p, C.c_int64, C.c_int64,
+            np.ctypeslib.ndpointer(np.uint8), C.c_int64,
+        ]
         _lib.sio_close.argtypes = [C.c_void_p]
         _lib.sio_nrefs.argtypes = [C.c_void_p]
         _lib.sio_ref_len.restype = C.c_int64

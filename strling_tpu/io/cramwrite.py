@@ -509,7 +509,7 @@ def nx16_encode(data: bytes, order: int = 0, N: int = 4, pack: bool = False,
 # ------------------------------------------------------ name tokeniser (3.1)
 # Independent encoder for the CRAM 3.1 name tokeniser ("tok3", block method
 # 8), to round-trip-test the native decoder. Token streams are compressed
-# with rANSNx16 (use_arith is never set).
+# with rANSNx16 or (use_arith=1) the adaptive arithmetic coder below.
 
 (TOK_TYPE, TOK_STRING, TOK_CHAR, TOK_DIGITS0, TOK_DZLEN, TOK_DUP, TOK_DIFF,
  TOK_DIGITS, TOK_DELTA, TOK_DELTA0, TOK_MATCH, TOK_NOP, TOK_END) = range(13)
@@ -546,8 +546,10 @@ def _tok_split(name: str) -> list[tuple[str, str]]:
     return toks
 
 
-def tok3_encode(blob: bytes) -> bytes:
-    """Encode a NUL-separated name blob (the RN block content) as tok3."""
+def tok3_encode(blob: bytes, use_arith: bool = False) -> bytes:
+    """Encode a NUL-separated name blob (the RN block content) as tok3.
+    Token streams are rANSNx16-compressed, or arithmetic-coded when
+    use_arith is set."""
     assert blob.endswith(b"\x00") or not blob
     names = blob.decode().split("\x00")[:-1] if blob else []
     streams: dict[tuple[int, int], bytearray] = {}
@@ -596,7 +598,7 @@ def tok3_encode(blob: bytes) -> bytes:
         toks_list.append(toks)
 
     out = bytearray(struct.pack("<II", len(blob), len(names)))
-    out.append(0)  # use_arith = 0: rANSNx16-compressed streams
+    out.append(1 if use_arith else 0)
     max_pos = max((p for p, _ in streams), default=-1)
     emitted: dict[bytes, tuple[int, int]] = {}
     for pos in range(max_pos + 1):
@@ -614,10 +616,279 @@ def tok3_encode(blob: bytes) -> bytes:
                 out.append(prior[1])
                 continue
             emitted.setdefault(data, (pos, typ))
-            comp = nx16_encode(data, order=0)
+            comp = (arith_encode(data, order=0) if use_arith
+                    else nx16_encode(data, order=0))
             out.append(flag)
             out += _uint7(len(comp)) + comp
     return bytes(out)
+
+
+# ------------------------------------------- adaptive range coder (3.1)
+# Encoder halves of the CRAM 3.1 adaptive arithmetic codec (block method 6)
+# and the fqzcomp quality codec (method 7); the native decoders live in
+# csrc/cram.cc. Carry-aware LZMA-style range encoder (32-bit range, 2^24
+# renorm, cache/0xFF-chain carry propagation, leading cache dummy byte) and
+# a move-up-one adaptive model with +16 steps renormalised at 2^16-16 —
+# mirrored operation-for-operation with the C++ decode path.
+
+AMODEL_STEP = 16
+AMODEL_MAX = (1 << 16) - AMODEL_STEP
+ARITH_EXT = NX16_X32  # flag bit 2 = "external" sub-codec in method 6
+
+
+class _RangeEnc:
+    __slots__ = ("low", "range", "cache", "ffnum", "out")
+
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.ffnum = 0
+        self.out = bytearray()
+
+    def _shift_low(self):
+        carry = self.low >> 32
+        if (self.low & 0xFFFFFFFF) < 0xFF000000 or carry:
+            self.out.append((self.cache + carry) & 0xFF)
+            while self.ffnum:
+                self.out.append((0xFF + carry) & 0xFF)
+                self.ffnum -= 1
+            self.cache = (self.low >> 24) & 0xFF
+        else:
+            self.ffnum += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def encode(self, cum: int, freq: int, tot: int):
+        r = self.range // tot
+        self.low += cum * r
+        self.range = r * freq
+        while self.range < (1 << 24):
+            self.range <<= 8
+            self._shift_low()
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+class _AModel:
+    """Adaptive model; symbol slots bubble up one place when their frequency
+    passes the slot above (same update order as the decoder)."""
+
+    __slots__ = ("freq", "sym", "slot", "total", "nsym")
+
+    def __init__(self, n: int):
+        self.nsym = n
+        self.freq = [1] * n
+        self.sym = list(range(n))
+        self.slot = list(range(n))  # symbol -> slot index
+        self.total = n
+
+    def encode(self, rc: _RangeEnc, s: int):
+        x = self.slot[s]
+        acc = 0
+        for i in range(x):
+            acc += self.freq[i]
+        rc.encode(acc, self.freq[x], self.total)
+        self.freq[x] += AMODEL_STEP
+        self.total += AMODEL_STEP
+        if x > 0 and self.freq[x] > self.freq[x - 1]:
+            other = self.sym[x - 1]
+            self.freq[x], self.freq[x - 1] = self.freq[x - 1], self.freq[x]
+            self.sym[x], self.sym[x - 1] = self.sym[x - 1], self.sym[x]
+            self.slot[s] = x - 1
+            self.slot[other] = x
+        if self.total > AMODEL_MAX:
+            self.total = 0
+            for i in range(self.nsym):
+                self.freq[i] -= self.freq[i] >> 1
+                self.total += self.freq[i]
+
+
+def _arith_put_run(rc: _RangeEnc, first: _AModel, cont: _AModel, run: int):
+    v = min(run, 255)
+    first.encode(rc, v)
+    run -= v
+    while v == 255:
+        v = min(run, 255)
+        cont.encode(rc, v)
+        run -= v
+
+
+def arith_encode(data: bytes, order: int = 0, rle: bool = False,
+                 pack: bool = False, cat: bool = False, stripe: int = 0,
+                 nosz: bool = False) -> bytes:
+    """Full method-6 stream (one CRAM block payload). Container flags match
+    rANSNx16; the entropy stage is the adaptive coder."""
+    flags = 0
+    if order:
+        flags |= NX16_ORDER1
+    if nosz:
+        flags |= NX16_NOSZ
+    if stripe:
+        out = bytearray([flags | NX16_STRIPE])
+        if not nosz:
+            out += _uint7(len(data))
+        subs = [arith_encode(bytes(data[j::stripe]), order=order)
+                for j in range(stripe)]
+        out.append(stripe)
+        for s in subs:
+            out += _uint7(len(s))
+        for s in subs:
+            out += s
+        return bytes(out)
+
+    out = bytearray()
+    cur = bytes(data)
+    pack_meta = b""
+    if pack:
+        syms = sorted(set(cur))
+        assert len(syms) <= 16, "pack needs <=16 distinct symbols"
+        flags |= NX16_PACK
+        pack_meta = bytes([len(syms)]) + bytes(syms)
+        if len(syms) <= 1:
+            cur = b""
+        else:
+            bits = 1 if len(syms) <= 2 else 2 if len(syms) <= 4 else 4
+            per = 8 // bits
+            idx = {s: k for k, s in enumerate(syms)}
+            packed = bytearray((len(cur) + per - 1) // per)
+            for i, c in enumerate(cur):
+                packed[i // per] |= idx[c] << (bits * (i % per))
+            cur = bytes(packed)
+        pack_meta += _uint7(len(cur))
+    if cat or not cur:
+        flags |= NX16_CAT
+        body = cur
+    else:
+        max_sym = max(cur) + 1
+        rc = _RangeEnc()
+        lits = [_AModel(max_sym) for _ in range(256 if order else 1)]
+        if rle:
+            flags |= NX16_RLE
+            runs = [_AModel(256) for _ in range(256)]
+            cont = _AModel(256)
+            i = 0
+            last = 0
+            while i < len(cur):
+                s = cur[i]
+                run = 0
+                while i + 1 + run < len(cur) and cur[i + 1 + run] == s:
+                    run += 1
+                lits[last if order else 0].encode(rc, s)
+                _arith_put_run(rc, runs[s], cont, run)
+                i += 1 + run
+                last = s
+        else:
+            last = 0
+            for c in cur:
+                lits[last if order else 0].encode(rc, c)
+                last = c
+        body = bytes([0 if max_sym == 256 else max_sym]) + rc.finish()
+    out.append(flags)
+    if not nosz:
+        out += _uint7(len(data))
+    out += pack_meta
+    out += body
+    return bytes(out)
+
+
+# fqzcomp parameter flag bits (shared with the native decoder)
+FQZ_DO_DEDUP = 2
+FQZ_DO_LEN = 4
+FQZ_HAVE_QMAP = 16
+FQZ_HAVE_PTAB = 32
+FQZ_HAVE_DTAB = 64
+FQZ_HAVE_QTAB = 128
+
+
+def fqz_encode(recs: list[bytes], qbits: int = 8, qshift: int = 5,
+               qloc: int = 7, ploc: int = 0, dloc: int = 13,
+               do_len: bool = True, do_dedup: bool = False,
+               qmap: bytes | None = None, qtab: list[int] | None = None,
+               ptab: list[int] | None = None, dtab: list[int] | None = None,
+               context: int = 0) -> bytes:
+    """Method-7 fqzcomp stream for a list of per-record quality strings
+    (single-parameter form: gflags=0). The block payload decodes to
+    b"".join(recs)."""
+    if qmap is not None:
+        inv = {q: i for i, q in enumerate(qmap)}
+        max_sym = len(qmap)
+    else:
+        max_sym = (max(max(r) for r in recs if r) + 1) if any(recs) else 1
+        inv = None
+    pflags = 0
+    if do_len:
+        pflags |= FQZ_DO_LEN
+    if do_dedup:
+        pflags |= FQZ_DO_DEDUP
+    if qmap is not None:
+        pflags |= FQZ_HAVE_QMAP
+    if qtab is not None:
+        pflags |= FQZ_HAVE_QTAB
+    if ptab is not None:
+        pflags |= FQZ_HAVE_PTAB
+    if dtab is not None:
+        pflags |= FQZ_HAVE_DTAB
+    out = bytearray([5, 0])  # vers, gflags (single param, no selector/rev)
+    out += struct.pack("<H", context)
+    out.append(pflags)
+    out.append(0 if max_sym == 256 else max_sym)
+    out.append((qbits << 4) | qshift)
+    out.append((qloc << 4) | 15)  # sloc unused (no selector)
+    out.append((ploc << 4) | dloc)
+    if qmap is not None:
+        out += bytes(qmap)
+    qt = list(qtab) if qtab is not None else list(range(256))
+    pt = list(ptab) if ptab is not None else [0] * 1024
+    dt = list(dtab) if dtab is not None else [0] * 256
+    if qtab is not None:
+        out += bytes(qt)
+    if ptab is not None:
+        out += bytes(pt)
+    if dtab is not None:
+        out += bytes(dt)
+
+    rc = _RangeEnc()
+    qual: dict[int, _AModel] = {}
+    lens = [_AModel(256) for _ in range(4)]
+    dup = _AModel(2)
+    prev: bytes | None = None
+    first = True
+    for rec in recs:
+        assert rec, "fqzcomp records must be non-empty"
+        if first or do_len:
+            for i in range(4):
+                lens[i].encode(rc, (len(rec) >> (8 * i)) & 0xFF)
+        first = False
+        if do_dedup:
+            is_dup = prev is not None and prev == rec
+            dup.encode(rc, 1 if is_dup else 0)
+            if is_dup:
+                prev = rec
+                continue
+        ctx = context
+        qctx = 0
+        q1 = 0
+        delta = 0
+        for i, qv in enumerate(rec):
+            q = inv[qv] if inv is not None else qv
+            m = qual.get(ctx & 0xFFFF)
+            if m is None:
+                m = qual[ctx & 0xFFFF] = _AModel(max_sym)
+            m.encode(rc, q)
+            qctx = (qctx << qshift) + qt[q]
+            ctx = context
+            if qbits:
+                ctx += (qctx & ((1 << qbits) - 1)) << qloc
+            pos = len(rec) - 1 - i
+            ctx += pt[pos if pos < 1024 else 1023] << ploc
+            ctx += dt[delta if delta < 256 else 255] << dloc
+            delta += 1 if q1 != q else 0
+            q1 = q
+        prev = rec
+    return bytes(out) + rc.finish()
 
 
 class CoreBits:

@@ -6,11 +6,12 @@
 // no-coor ("*") scan, and reference-based sequence reconstruction.
 //
 // Supported block codecs: raw, gzip, rANS4x8 (order 0 and 1), and the CRAM
-// 3.1 rANSNx16 codec (orders 0/1, 4- and 32-way, pack/RLE/stripe/cat).
+// 3.1 codecs: rANSNx16 (orders 0/1, 4- and 32-way, pack/RLE/stripe/cat),
+// adaptive arithmetic (method 6), fqzcomp qualities (method 7,
+// single-parameter streams), and the name tokeniser (method 8, rans or
+// arith token streams). bzip2/lzma block compression is not supported.
 // Supported field encodings: EXTERNAL, HUFFMAN (canonical), BETA, GAMMA,
 // BYTE_ARRAY_LEN, BYTE_ARRAY_STOP.
-// Remaining 3.1-only codecs (name tokeniser, fqzcomp, arithmetic) are
-// reported as errors — the reference's htslib 1.22 writes 3.0 by default.
 //
 // Exposed through the sio::Reader interface (strling_io.h) so the extract
 // engine, frag-hist pass and batch iterators work on CRAM transparently.
@@ -554,13 +555,367 @@ static bool rans_nx16_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
   return nx16_decode_buf(b, usize, out, 0);
 }
 
+// ------------------------------------------------- adaptive range coder (3.1)
+//
+// CRAM 3.1 adaptive arithmetic codec (block method 6) and the fqzcomp
+// quality codec (method 7) share one carry-aware range decoder and one
+// adaptive frequency model, per the CRAM 3.1 codecs document: 32-bit range,
+// 2^24 renormalisation, 5 prefetched bytes (the encoder's first byte is a
+// cache dummy), and a move-up-one adaptive model with +16 increments
+// renormalised at 2^16-16. The matching encoder lives in io/cramwrite.py;
+// round-trip tests pin both sides (no external htscodecs tooling exists in
+// this environment to cross-validate, as docs/parity.md notes).
+
+struct RangeDec {
+  Buf* b;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+
+  explicit RangeDec(Buf* buf) : b(buf) {
+    for (int i = 0; i < 5; i++) code = (code << 8) | b->u8();
+  }
+  uint32_t get_freq(uint32_t tot) {
+    range /= tot;
+    return code / range;
+  }
+  void advance(uint32_t cum, uint32_t freq) {
+    code -= cum * range;
+    range *= freq;
+    while (range < (1u << 24)) {
+      code = (code << 8) | b->u8();
+      range <<= 8;
+    }
+  }
+};
+
+constexpr uint32_t AMODEL_STEP = 16;
+constexpr uint32_t AMODEL_MAX = (1u << 16) - AMODEL_STEP;
+
+struct AModel {
+  std::vector<uint16_t> freq;
+  std::vector<uint8_t> sym;  // slot -> symbol (slots bubble toward the front)
+  uint32_t total = 0;
+  int nsym = 0;
+
+  void init(int n) {
+    nsym = n;
+    freq.assign(n, 1);
+    sym.resize(n);
+    for (int i = 0; i < n; i++) sym[i] = (uint8_t)i;
+    total = (uint32_t)n;
+  }
+  int decode(RangeDec& rc) {
+    uint32_t f = rc.get_freq(total);
+    if (f >= total) return -1;  // corrupt stream
+    uint32_t acc = 0;
+    int x = 0;
+    while (acc + freq[x] <= f) acc += freq[x++];
+    rc.advance(acc, freq[x]);
+    int s = sym[x];
+    freq[x] += AMODEL_STEP;
+    total += AMODEL_STEP;
+    if (x > 0 && freq[x] > freq[x - 1]) {
+      std::swap(freq[x], freq[x - 1]);
+      std::swap(sym[x], sym[x - 1]);
+    }
+    if (total > AMODEL_MAX) {
+      total = 0;
+      for (int i = 0; i < nsym; i++) {
+        freq[i] -= freq[i] >> 1;
+        total += freq[i];
+      }
+    }
+    return s;
+  }
+};
+
+// Run lengths: first chunk from a per-literal model, 255-continuations from a
+// shared model; run = sum of chunks while chunk == 255.
+static int64_t arith_run(RangeDec& rc, AModel& first, AModel& cont) {
+  int v = first.decode(rc);
+  if (v < 0) return -1;
+  int64_t run = v;
+  while (v == 255) {
+    v = cont.decode(rc);
+    if (v < 0) return -1;
+    run += v;
+  }
+  return run;
+}
+
+static bool arith_decode_buf(Buf& b, uint32_t len, std::vector<uint8_t>* out,
+                             int depth);
+
+static bool arith_stripe(Buf& b, uint32_t len, std::vector<uint8_t>* out,
+                         int depth) {
+  int X = b.u8();
+  if (b.fail || X <= 0) return false;
+  std::vector<uint32_t> clen(X);
+  for (int j = 0; j < X; j++) clen[j] = uint7(b);
+  if (b.fail) return false;
+  out->assign(len, 0);
+  for (int j = 0; j < X; j++) {
+    uint32_t ulen = len / X + (len % X > (uint32_t)j ? 1 : 0);
+    if (b.left() < clen[j]) return false;
+    Buf sb(b.p, clen[j]);
+    b.p += clen[j];
+    std::vector<uint8_t> t;
+    if (!arith_decode_buf(sb, ulen, &t, depth + 1)) return false;
+    if (t.size() != ulen) return false;
+    for (uint32_t i = 0; i < ulen; i++) (*out)[(uint64_t)i * X + j] = t[i];
+  }
+  return true;
+}
+
+// Method-6 container: same flag byte layout as rANSNx16 (bit 2 selects the
+// "external" sub-codec instead of 32-way interleave, which has no meaning
+// here); PACK metadata shared with nx16.
+static bool arith_decode_buf(Buf& b, uint32_t len, std::vector<uint8_t>* out,
+                             int depth) {
+  if (depth > 3) return false;
+  int flags = b.u8();
+  if (b.fail) return false;
+  if (!(flags & NX16_NOSZ)) len = uint7(b);
+  if (b.fail || len > (1u << 28)) return false;
+  if (flags & NX16_STRIPE) return arith_stripe(b, len, out, depth);
+  if (flags & NX16_X32) return false;  // "external" (bzip2/lzma) sub-codec
+
+  uint32_t unpack_len = len;
+  int nsym = -1;
+  uint8_t P[16] = {0};
+  if (flags & NX16_PACK) {
+    nsym = b.u8();
+    if (b.fail || nsym > 16) return false;
+    for (int i = 0; i < nsym; i++) P[i] = b.u8();
+    len = uint7(b);
+    if (b.fail || len > (1u << 28)) return false;
+  }
+  std::vector<uint8_t> lit(len);
+  if (flags & NX16_CAT) {
+    if (!b.raw(lit.data(), len)) return false;
+  } else if (len > 0) {
+    int max_sym = b.u8();
+    if (b.fail) return false;
+    if (max_sym == 0) max_sym = 256;
+    RangeDec rc(&b);
+    bool order1 = (flags & NX16_ORDER1) != 0;
+    std::vector<AModel> lits(order1 ? 256 : 1);
+    for (auto& m : lits) m.init(max_sym);
+    if (flags & NX16_RLE) {
+      std::vector<AModel> runs(256);
+      for (auto& m : runs) m.init(256);
+      AModel cont;
+      cont.init(256);
+      uint32_t i = 0;
+      int last = 0;
+      while (i < len) {
+        int s = lits[order1 ? last : 0].decode(rc);
+        if (s < 0 || s >= max_sym) return false;
+        int64_t run = arith_run(rc, runs[s], cont);
+        if (run < 0 || i + 1 + run > len) return false;
+        for (int64_t r = 0; r <= run; r++) lit[i++] = (uint8_t)s;
+        last = s;
+      }
+    } else {
+      int last = 0;
+      for (uint32_t i = 0; i < len; i++) {
+        int s = lits[order1 ? last : 0].decode(rc);
+        if (s < 0 || s >= max_sym) return false;
+        lit[i] = (uint8_t)s;
+        last = s;
+      }
+    }
+    if (b.fail) return false;
+  }
+  if (flags & NX16_PACK) {
+    std::vector<uint8_t> up(unpack_len);
+    if (nsym <= 0 && unpack_len > 0) return false;
+    if (nsym <= 1) {
+      for (uint32_t i = 0; i < unpack_len; i++) up[i] = P[0];
+    } else {
+      int bits = nsym <= 2 ? 1 : nsym <= 4 ? 2 : 4;
+      int per = 8 / bits;
+      uint32_t msk = (1u << bits) - 1;
+      if ((uint64_t)len * per < unpack_len) return false;
+      for (uint32_t i = 0; i < unpack_len; i++) {
+        uint32_t v = lit[i / per] >> (bits * (i % per));
+        up[i] = P[v & msk];
+      }
+    }
+    lit.swap(up);
+  }
+  out->swap(lit);
+  return true;
+}
+
+static bool arith_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
+                         std::vector<uint8_t>* out) {
+  Buf b(in, in_sz);
+  return arith_decode_buf(b, usize, out, 0);
+}
+
+// ----------------------------------------------------------- fqzcomp (3.1)
+//
+// Quality-string codec (block method 7): one adaptive model per 16-bit
+// context, where the context mixes recent quality history (qbits/qshift via
+// qtab), position in the read (ptab) and a running delta count (dtab), each
+// placed at a configurable bit offset (qloc/ploc/dloc). Single-parameter
+// streams only (gflags with multi-param/selector/reverse bits are rejected
+// with a clear error); read lengths ride in-band through four length
+// models, matching the CRAM 3.1 layout where the qual block is
+// self-delimiting per record.
+
+struct FqzParam {
+  uint32_t context = 0;
+  int pflags = 0;
+  int max_sym = 0;
+  int qbits = 0, qshift = 0, qloc = 0, sloc = 0, ploc = 0, dloc = 0;
+  uint8_t qmap[256];
+  uint8_t qtab[256];
+  uint8_t ptab[1024];
+  uint8_t dtab[256];
+};
+
+enum FqzPFlags {
+  FQZ_DO_DEDUP = 2,
+  FQZ_DO_LEN = 4,
+  FQZ_HAVE_QMAP = 16,
+  FQZ_HAVE_PTAB = 32,
+  FQZ_HAVE_DTAB = 64,
+  FQZ_HAVE_QTAB = 128,
+};
+
+static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
+                       std::vector<uint8_t>* out, std::string* err) {
+  Buf b(in, in_sz);
+  int vers = b.u8();
+  int gflags = b.u8();
+  if (b.fail || vers != 5) {
+    *err = "fqzcomp: unsupported version";
+    return false;
+  }
+  if (gflags != 0) {
+    *err = "fqzcomp: multi-param/selector/reverse streams not supported";
+    return false;
+  }
+  FqzParam p;
+  p.context = b.u16le();
+  p.pflags = b.u8();
+  p.max_sym = b.u8();
+  if (p.max_sym == 0) p.max_sym = 256;
+  int x = b.u8();
+  p.qbits = x >> 4;
+  p.qshift = x & 15;
+  x = b.u8();
+  p.qloc = x >> 4;
+  p.sloc = x & 15;
+  x = b.u8();
+  p.ploc = x >> 4;
+  p.dloc = x & 15;
+  for (int i = 0; i < 256; i++) {
+    p.qmap[i] = (uint8_t)i;
+    p.qtab[i] = (uint8_t)i;
+    p.dtab[i] = 0;
+  }
+  memset(p.ptab, 0, sizeof p.ptab);
+  if (p.pflags & FQZ_HAVE_QMAP)
+    for (int i = 0; i < p.max_sym; i++) p.qmap[i] = b.u8();
+  if (p.pflags & FQZ_HAVE_QTAB)
+    for (int i = 0; i < 256; i++) p.qtab[i] = b.u8();
+  if (p.pflags & FQZ_HAVE_PTAB)
+    for (int i = 0; i < 1024; i++) p.ptab[i] = b.u8();
+  if (p.pflags & FQZ_HAVE_DTAB)
+    for (int i = 0; i < 256; i++) p.dtab[i] = b.u8();
+  if (b.fail) {
+    *err = "fqzcomp: truncated parameter block";
+    return false;
+  }
+
+  RangeDec rc(&b);
+  std::vector<AModel> qual(1 << 16);
+  for (auto& m : qual) m.init(p.max_sym);
+  AModel lens[4];
+  for (auto& m : lens) m.init(256);
+  AModel dup;
+  dup.init(2);
+
+  out->clear();
+  out->reserve(usize);
+  uint32_t rec_len = 0;
+  bool first = true;
+  size_t prev_start = 0;
+  while (out->size() < usize) {
+    if (first || (p.pflags & FQZ_DO_LEN)) {
+      uint32_t l = 0;
+      for (int i = 0; i < 4; i++) {
+        int v = lens[i].decode(rc);
+        if (v < 0) {
+          *err = "fqzcomp: corrupt length";
+          return false;
+        }
+        l |= (uint32_t)v << (8 * i);
+      }
+      rec_len = l;
+    }
+    first = false;
+    if (rec_len == 0 || out->size() + rec_len > usize) {
+      *err = "fqzcomp: record length overruns block";
+      return false;
+    }
+    size_t start = out->size();
+    if (p.pflags & FQZ_DO_DEDUP) {
+      int d = dup.decode(rc);
+      if (d < 0) {
+        *err = "fqzcomp: corrupt dup flag";
+        return false;
+      }
+      if (d == 1) {
+        if (start == 0 || start - prev_start != rec_len) {
+          *err = "fqzcomp: dup without matching previous record";
+          return false;
+        }
+        out->insert(out->end(), out->begin() + prev_start,
+                    out->begin() + start);
+        prev_start = start;
+        continue;
+      }
+    }
+    uint32_t ctx = p.context;
+    uint32_t qctx = 0;
+    int q1 = 0, delta = 0;
+    for (uint32_t i = 0; i < rec_len; i++) {
+      int q = qual[ctx & 0xffff].decode(rc);
+      if (q < 0) {
+        *err = "fqzcomp: corrupt quality stream";
+        return false;
+      }
+      out->push_back(p.qmap[q]);
+      qctx = (qctx << p.qshift) + p.qtab[q];
+      ctx = p.context;
+      if (p.qbits)
+        ctx += (qctx & ((1u << p.qbits) - 1)) << p.qloc;
+      uint32_t pos = rec_len - 1 - i;  // positions count down, as stored
+      ctx += (uint32_t)p.ptab[pos < 1024 ? pos : 1023] << p.ploc;
+      ctx += (uint32_t)p.dtab[delta < 256 ? delta : 255] << p.dloc;
+      delta += (q1 != q);
+      q1 = q;
+    }
+    prev_start = start;
+  }
+  if (b.fail) {
+    *err = "fqzcomp: truncated stream";
+    return false;
+  }
+  return out->size() == usize;
+}
+
 // --------------------------------------------------------- name tokeniser
 // CRAM 3.1 name tokeniser ("tok3", block method 8): read names are split
 // into per-position token streams (string/char/digit/delta/match/...), each
-// stream rANSNx16-compressed. htslib compresses the RN series this way by
-// default when writing CRAM 3.1, and qnames drive mate pairing in extract
-// (reference extract.nim:89-91), so 3.1 inputs need it.
-// Arithmetic-coded token streams (use_arith=1) are not supported yet.
+// stream rANSNx16-compressed (use_arith=0) or arithmetic-coded
+// (use_arith=1). htslib compresses the RN series this way by default when
+// writing CRAM 3.1, and qnames drive mate pairing in extract (reference
+// extract.nim:89-91), so 3.1 inputs need it.
 
 enum TokType {
   TOK_TYPE = 0,
@@ -600,7 +955,7 @@ static bool tok3_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
   // force a multi-GB upfront allocation)
   if (b.fail || ulen != usize || nnames > (1u << 26) || nnames > ulen)
     return false;
-  if (use_arith) return false;  // arithmetic coder not implemented
+  if (use_arith > 1) return false;
 
   // token streams: B[t][type] bytes + an independent read cursor each
   std::vector<std::array<std::shared_ptr<std::vector<uint8_t>>, TOK_NTYPES>>
@@ -623,7 +978,9 @@ static bool tok3_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
       uint32_t clen = uint7(b);
       if (b.fail || b.left() < clen) return false;
       auto data = std::make_shared<std::vector<uint8_t>>();
-      if (!rans_nx16_decode(b.p, clen, 0, data.get())) return false;
+      bool ok = use_arith ? arith_decode(b.p, clen, 0, data.get())
+                          : rans_nx16_decode(b.p, clen, 0, data.get());
+      if (!ok) return false;
       b.p += clen;
       streams[t][type] = data;
     }
@@ -868,6 +1225,18 @@ static bool read_block(Buf& b, Block* blk, std::string* err,
     case 5:  // rANS Nx16 (CRAM 3.1)
       if (!rans_nx16_decode(cdata, csize, usize, &blk->data)) {
         *err = "CRAM rANSNx16 block decode failed";
+        return false;
+      }
+      break;
+    case 6:  // adaptive arithmetic (CRAM 3.1)
+      if (!arith_decode(cdata, csize, usize, &blk->data)) {
+        *err = "CRAM arith block decode failed";
+        return false;
+      }
+      break;
+    case 7:  // fqzcomp quality codec (CRAM 3.1)
+      if (!fqz_decode(cdata, csize, usize, &blk->data, err)) {
+        if (err->empty()) *err = "CRAM fqzcomp block decode failed";
         return false;
       }
       break;
@@ -2438,6 +2807,29 @@ extern "C" int64_t sio_rans_nx16_decode(const uint8_t* in, int64_t in_sz,
                                         int64_t out_cap) {
   std::vector<uint8_t> o;
   if (!rans_nx16_decode(in, (size_t)in_sz, (uint32_t)usize, &o)) return -1;
+  if ((int64_t)o.size() > out_cap) return -1;
+  memcpy(out, o.data(), o.size());
+  return (int64_t)o.size();
+}
+
+// test hook: decode one adaptive-arithmetic stream; returns size or -1
+extern "C" int64_t sio_arith_decode(const uint8_t* in, int64_t in_sz,
+                                    int64_t usize, uint8_t* out,
+                                    int64_t out_cap) {
+  std::vector<uint8_t> o;
+  if (!arith_decode(in, (size_t)in_sz, (uint32_t)usize, &o)) return -1;
+  if ((int64_t)o.size() > out_cap) return -1;
+  memcpy(out, o.data(), o.size());
+  return (int64_t)o.size();
+}
+
+// test hook: decode one fqzcomp quality stream; returns size or -1
+extern "C" int64_t sio_fqz_decode(const uint8_t* in, int64_t in_sz,
+                                  int64_t usize, uint8_t* out,
+                                  int64_t out_cap) {
+  std::vector<uint8_t> o;
+  std::string err;
+  if (!fqz_decode(in, (size_t)in_sz, (uint32_t)usize, &o, &err)) return -1;
   if ((int64_t)o.size() > out_cap) return -1;
   memcpy(out, o.data(), o.size());
   return (int64_t)o.size();
