@@ -28,12 +28,11 @@ NEG = -1
 
 
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
-            codes_s, wmin_s, match_s, tot_s, aft_s):
+            match_s, tot_s, aft_s):
     L, TB = bases_ref.shape
     TBH = TB // 2
     basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
     codes = (basesi >> 1) & 3  # [L, TB]
-    codes_s[:, :] = codes
     lengths = lengths_ref[...].astype(jnp.int32)  # [1, TB]
     n_mask = (basesi == ord("N")) & (
         jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0) < lengths
@@ -50,41 +49,41 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
     # one 6-digit gram per position; every k's posgram is a single shift of
     # it (gram_k[j] = top 3k bits = digits j..j+k-1). Wrapped roll rows only
     # pollute digits past k-1, which the shift discards, and rows with
-    # j+k > len are killed by the per-k length gate.
+    # j+k > len are killed by the per-k length gate. The same six rolls also
+    # build the shared 2-bit rolling encode full2[p] = encode of bases
+    # p..p+5, whose top 2k bits are kmer k's encode at p — one roll pass
+    # feeds both the recount posgrams and every k's window codes.
     gram6 = jnp.zeros((L, TB), jnp.int32)
+    full2 = jnp.zeros((L, TB), jnp.int32)
     for m in range(6):
         d3 = jnp.roll(codes3, -m, axis=0) if m else codes3
         gram6 = gram6 | (d3 << (3 * (5 - m)))
+        full2 = full2 | ((d3 & 3) << (2 * (5 - m)))
 
     per_k = []
     for ki, k in enumerate(KS):
         W = L // k
         # --- window min-rotation codes (utils.nim:10-35) -------------------
-        # rolling encode per window, exactly the Nim slide_by structure:
-        # k adds to load the window, then k more (cyclic) taking the min —
-        # row reads go through scratch (strided value slices don't lower)
+        # Cyclic-rotation minima without any sequential loop: the reference
+        # rotates the window's own bases (slide_by re-adds s[j*k..j*k+k)),
+        # so every rotation is a digit-rotate of the window's packed code —
+        # rot(f) = ((f<<2)&mask) | (f>>2(k-1)). Compute the rotate-min at
+        # EVERY position from the shared rolling encode (k-1 elementwise
+        # steps over [L,TB]), then pull the stride-k window rows out with a
+        # 0/1 selection matmul (values < 4^6 are exact in f32; strided
+        # sublane slices don't lower in Mosaic, the MXU does this for free).
         mask = (1 << (2 * k)) - 1
-
-        def win_at(j):
-            f = jnp.zeros((1, TB), jnp.int32)
-            for m in range(k):  # load window
-                f = ((f << 2) | codes_s[pl.ds(j * k + m, 1), :]) & mask
-            kmin = f
-            for m in range(k):  # rotate
-                f = ((f << 2) | codes_s[pl.ds(j * k + m, 1), :]) & mask
-                kmin = jnp.minimum(kmin, f)
-            return kmin
-
-        def win_body2(j2, _):  # two windows per trip (halves loop overhead)
-            j = j2 * 2
-            wmin_s[pl.ds(j, 1), :] = win_at(j)
-            wmin_s[pl.ds(j + 1, 1), :] = win_at(j + 1)
-            return 0
-
-        jax.lax.fori_loop(0, W // 2, win_body2, 0)
-        if W % 2:  # static tail window
-            wmin_s[W - 1:W, :] = win_at(W - 1)
-        wmin = wmin_s[:W, :]
+        fk = full2 >> (2 * (6 - k))  # [L, TB] encode of bases p..p+k-1
+        kmin_all = fk
+        f = fk
+        for _ in range(k - 1):
+            f = ((f << 2) & mask) | (f >> (2 * (k - 1)))
+            kmin_all = jnp.minimum(kmin_all, f)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
+        coli = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
+        sel = (coli == rowi * k).astype(jnp.float32)
+        wmin = jnp.dot(sel, kmin_all.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
         win_end = (jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) + 1) * k
         validw = win_end <= lengths  # [W, TB]
         wmin = jnp.where(validw, wmin, NEG)
@@ -292,8 +291,6 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((L, TILE_B), jnp.int32),       # 2-bit codes
-            pltpu.VMEM((L // 2, TILE_B), jnp.int32),  # wmin rows (W <= L/2)
             pltpu.VMEM((L + 8, TILE_B // 2), jnp.int32),  # packed match rows
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne totals
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne-after
