@@ -132,7 +132,7 @@ def bench_extract_e2e(smoke: bool):
     n_pairs = 5_000 if smoke else 250_000
     path = _bench_bam(n_pairs)
     best = 0.0
-    for _ in range(1 if smoke else 2):
+    for _ in range(1 if smoke else 3):
         bam = Bam(path)
         t0 = time.perf_counter()
         tb, frag, opts = extract_native(bam, None, None)
@@ -184,9 +184,11 @@ def bench_call(smoke: bool):
         tb, frag, opts = extract(bam, None, None)
         binp = os.path.join(d, "s.bin")
         write_bin(binp, tb, frag, bam.header_text, 0.8, 40)
-        t0 = time.perf_counter()
-        run_call(bam_path, binp, output_prefix=os.path.join(d, "out"))
-        dt = time.perf_counter() - t0
+        dt = float("inf")  # best-of-3: the ~0.3s measurement is noisy on a
+        for _ in range(1 if smoke else 3):  # shared 2-core host
+            t0 = time.perf_counter()
+            run_call(bam_path, binp, output_prefix=os.path.join(d, "out"))
+            dt = min(dt, time.perf_counter() - t0)
         lines = open(os.path.join(d, "out-genotype.txt")).read().splitlines()
         n_called = len(lines) - 1
         if n_called < n_loci // 2:

@@ -100,4 +100,67 @@ done
 [ "$bad" -eq 0 ] || exit 1
 ASAN_OPTIONS=abort_on_error=1 "$TMP/asan_scan" "$CRAM" "$FASTA" > /dev/null
 ASAN_OPTIONS=abort_on_error=1 "$TMP/asan_scan" "$BAM" > /dev/null
-echo "[sanitize] OK: TSAN clean, ASAN+UBSAN clean over corpus" >&2
+
+echo "[sanitize] codec blob fuzz under ASAN (arith / fqzcomp / tok3)" >&2
+python - "$TMP" <<'PY'
+import random, sys
+sys.path.insert(0, ".")
+from strling_tpu.io.cramwrite import arith_encode, fqz_encode, tok3_encode
+rng = random.Random(3)
+data = bytes(rng.choice(b"ACGTN") for _ in range(4000))
+recs = [bytes(rng.randrange(33, 73) for _ in range(rng.randrange(60, 152)))
+        for _ in range(30)]
+names = b"".join(f"rd:{i:05d}:x\x00".encode() for i in range(300))
+blobs = {
+    "arith": (arith_encode(data, order=1, rle=True), len(data)),
+    "fqz": (fqz_encode(recs), sum(map(len, recs))),
+    "tok3": (tok3_encode(names, use_arith=True), len(names)),
+}
+out = sys.argv[1]
+for k, (b, u) in blobs.items():
+    open(f"{out}/{k}.blob", "wb").write(b)
+    open(f"{out}/{k}.usize", "w").write(str(u))
+PY
+cat > "$TMP/codec.cc" <<'EOF'
+#include <cstdio>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+extern "C" {
+  int64_t sio_arith_decode(const uint8_t*, int64_t, int64_t, uint8_t*, int64_t);
+  int64_t sio_fqz_decode(const uint8_t*, int64_t, int64_t, uint8_t*, int64_t);
+  int64_t sio_tok3_decode(const uint8_t*, int64_t, int64_t, uint8_t*, int64_t);
+}
+int main(int argc, char** argv) {
+  // argv: mode blobfile usize — truncations + bit flips, in-process
+  FILE* f = fopen(argv[2], "rb");
+  fseek(f, 0, SEEK_END); long n = ftell(f); fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> blob(n);
+  if (fread(blob.data(), 1, n, f) != (size_t)n) return 2;
+  fclose(f);
+  int64_t usize = atoll(argv[3]);
+  std::vector<uint8_t> out(usize + 64);
+  auto dec = !strcmp(argv[1], "arith") ? sio_arith_decode
+           : !strcmp(argv[1], "fqz") ? sio_fqz_decode : sio_tok3_decode;
+  unsigned seed = 12345;
+  for (long cut = 0; cut <= n; cut += 13)
+    dec(blob.data(), cut, usize, out.data(), out.size());
+  for (int i = 0; i < 300; i++) {
+    std::vector<uint8_t> m = blob;
+    for (int j = 0; j < 1 + (int)(rand_r(&seed) % 8); j++)
+      m[rand_r(&seed) % n] ^= 1 << (rand_r(&seed) % 8);
+    dec(m.data(), n, usize, out.data(), out.size());
+  }
+  printf("ok\n");
+  return 0;
+}
+EOF
+g++ -fsanitize=address,undefined -O1 -g -std=c++17 -pthread "$TMP/codec.cc" \
+    $SRC/*.cc -o "$TMP/asan_codec" -ldeflate -lz
+for mode in arith fqz tok3; do
+  ASAN_OPTIONS=abort_on_error=1 UBSAN_OPTIONS=halt_on_error=1 \
+    timeout 120 "$TMP/asan_codec" "$mode" "$TMP/$mode.blob" \
+    "$(cat "$TMP/$mode.usize")" > /dev/null
+done
+echo "[sanitize] OK: TSAN clean, ASAN+UBSAN clean over corpus + codec blobs" >&2

@@ -963,6 +963,12 @@ def _ext_block(content_id: int, raw: bytes, method: str) -> bytes:
         return _block(5, 4, content_id, raw, nx16_encode(raw, order=1))
     if method == "tok3":  # CRAM 3.1 name tokeniser
         return _block(8, 4, content_id, raw, tok3_encode(raw))
+    if method == "arith0":  # CRAM 3.1 adaptive arithmetic
+        return _block(6, 4, content_id, raw, arith_encode(raw, order=0))
+    if method == "arith1":
+        return _block(6, 4, content_id, raw, arith_encode(raw, order=1))
+    if method == "tok3a":  # tok3 with arithmetic token streams
+        return _block(8, 4, content_id, raw, tok3_encode(raw, use_arith=True))
     raise ValueError(method)
 
 
@@ -1128,11 +1134,14 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
                records: list[BamRecord], fasta=None, write_index: bool = True,
                slice_size: int = 4096, ap_delta: bool = True,
                embed_ref: bool = False, core_codecs: bool = False,
-               v31: bool = False):
+               v31: bool = False, v31_arith: bool = False):
     """Write a CRAM 3.0 (+ .crai). `fasta` is a path, a dict name->seq, or
     None (verbatim base encoding, RR=false). Records should be
     coordinate-sorted for meaningful .crai queries. With `v31`, writes a
-    CRAM 3.1 file whose external blocks use the rANSNx16 codec."""
+    CRAM 3.1 file whose external blocks use the rANSNx16 codec; with
+    `v31_arith` additionally, the adaptive arithmetic codec (method 6),
+    fqzcomp for stored qualities (method 7) and arithmetic tok3 token
+    streams."""
     refs: dict[str, str] = {}
     if isinstance(fasta, dict):
         refs = {k: v.upper() for k, v in fasta.items()}
@@ -1170,7 +1179,7 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
     for chunk in chunks:
         payload, ref_id, start, span, nbases, landmark, ssize = _container(
             chunk, refs, targets, ref_based, ap_delta, embed_ref, counter,
-            core_codecs, v31)
+            core_codecs, v31, v31_arith)
         coff = out.tell()
         out.write(payload)
         counter += len(chunk)
@@ -1204,7 +1213,8 @@ def _cont_header(length: int, ref_id: int, start: int, span: int, n_rec: int,
 
 def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
                ap_delta: bool, embed_ref: bool, counter: int,
-               core_codecs: bool = False, v31: bool = False):
+               core_codecs: bool = False, v31: bool = False,
+               v31_arith: bool = False):
     tids = {r.tid for r in chunk}
     if len(tids) == 1:
         ref_id = chunk[0].tid
@@ -1218,6 +1228,7 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
 
     # streams
     st = {k: bytearray() for k in _SERIES}
+    qual_recs: list[bytes] = []  # per-record quals for the fqzcomp block
     core = CoreBits()
     ap_last = start
 
@@ -1261,8 +1272,10 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
             if len(q) != len(r.seq):
                 raise ValueError("qual length != seq length")
             # CRAM stores raw phred values; ASCII input is phred+33
-            st["QS"] += bytes((b - 33) & 0xFF for b in q) \
-                if isinstance(qual, str) else q
+            qrec = bytes((b - 33) & 0xFF for b in q) \
+                if isinstance(qual, str) else bytes(q)
+            st["QS"] += qrec
+            qual_recs.append(qrec)
         if mate_link[i] >= 0:
             cf |= 0x4
         elif not is_mate_target[i]:
@@ -1334,6 +1347,15 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
                       "gzip": "nx16_0"}.get(method, method)
             if key == "RN":
                 method = "tok3"
+            if v31_arith:  # adaptive coder + fqz quals + arith tok3
+                method = {"nx16_0": "arith0", "nx16_1": "arith1",
+                          "tok3": "tok3a"}[method]
+        if (key == "QS" and v31 and v31_arith and qual_recs
+                and all(qual_recs)):
+            raw = bytes(st[key])
+            blocks += _block(7, 4, cid, raw, fqz_encode(qual_recs))
+            content_ids.append(cid)
+            continue
         blocks += _ext_block(cid, bytes(st[key]), method)
         content_ids.append(cid)
     if embed_ref and ref_id >= 0 and ref_based:

@@ -48,7 +48,7 @@ struct Buf {
   }
   bool raw(void* dst, size_t n) {
     if (left() < n) { fail = true; memset(dst, 0, n); return false; }
-    memcpy(dst, p, n);
+    if (n) memcpy(dst, p, n);  // p may be null on an empty cursor
     p += n;
     return true;
   }

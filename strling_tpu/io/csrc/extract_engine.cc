@@ -566,13 +566,16 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
     ok_tbl_init = true;
   }
   bool iupac = false;
+  bool has_n = false;
   for (int64_t r = 0; r < rows && !iupac; r++) {
     const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
-    for (int j = 0; j < e->row_len[r]; j++)
+    for (int j = 0; j < e->row_len[r]; j++) {
       if (!ok_tbl[src[j]]) {
         iupac = true;
         break;
       }
+      has_n |= src[j] == 'N';
+    }
   }
   if (iupac) {
     memcpy(ascii_bases, e->row_bases.data(), (size_t)rows * Lmax);
@@ -581,9 +584,13 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
     *used_fallback = 1;
     return rows;
   }
-  // u8 meta when thresholds/length fit a byte (ops/kmer.py fuse_payload)
+  // u8 meta when thresholds/length fit a byte; N-free batches (the common
+  // case) drop the N bitmask plane entirely — the "n8" wire layout of
+  // ops/kmer.py fuse_payload, ~30% less tunnel payload per row
   const bool meta8 = Lmax <= 248 && e->proportion_repeat <= 1.0;
-  const int64_t rowW = 3 * (int64_t)Lmax / 8 + (meta8 ? 11 : 22);
+  const bool non = meta8 && !has_n;
+  const int64_t rowW =
+      non ? (int64_t)Lmax / 4 + 11 : 3 * (int64_t)Lmax / 8 + (meta8 ? 11 : 22);
   for (int64_t r = 0; r < rows; r++) {
     const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
     uint8_t* dst = payload + r * rowW;
@@ -591,16 +598,20 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
       dst[j >> 2] = (uint8_t)(((src[j] >> 1) & 3) | ((src[j + 1] >> 1) & 3) << 2 |
                               ((src[j + 2] >> 1) & 3) << 4 |
                               ((src[j + 3] >> 1) & 3) << 6);
-    uint8_t* nb = dst + Lmax / 4;
-    for (int j = 0; j < Lmax; j += 8) {
-      uint8_t b = 0;
-      for (int i = 0; i < 8; i++) b |= (uint8_t)(src[j + i] == 'N') << i;
-      nb[j >> 3] = b;
+    int64_t meta_off = Lmax / 4;
+    if (!non) {
+      uint8_t* nb = dst + Lmax / 4;
+      for (int j = 0; j < Lmax; j += 8) {
+        uint8_t b = 0;
+        for (int i = 0; i < 8; i++) b |= (uint8_t)(src[j + i] == 'N') << i;
+        nb[j >> 3] = b;
+      }
+      meta_off = 3 * Lmax / 8;
     }
     const double L = (double)e->row_len[r];
     const double prop = e->row_prop[r];
     if (meta8) {  // u8 meta (te<=14, tp<=124, length<=248)
-      uint8_t* meta = dst + 3 * Lmax / 8;
+      uint8_t* meta = dst + meta_off;
       for (int ki = 0; ki < 5; ki++) {
         const double k = (double)(ki + 2);
         meta[ki] = (uint8_t)(int64_t)(L * 0.12 / k);
@@ -608,7 +619,7 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
       }
       meta[10] = (uint8_t)e->row_len[r];
     } else {
-      uint16_t* meta = (uint16_t*)(dst + 3 * Lmax / 8);
+      uint16_t* meta = (uint16_t*)(dst + meta_off);
       for (int ki = 0; ki < 5; ki++) {
         const double k = (double)(ki + 2);
         meta[ki] = (uint16_t)(int64_t)(L * 0.12 / k);
@@ -617,7 +628,7 @@ int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
       meta[10] = (uint16_t)e->row_len[r];
     }
   }
-  *used_fallback = 0;
+  *used_fallback = non ? 2 : 0;
   return rows;
 }
 

@@ -182,10 +182,12 @@ int64_t sio_next_batch(void* vh, int64_t cap, int Lmax, int32_t* tid,
         sdst[i] = (uint8_t)SEQ_NT16[(r.seq4[i >> 1] >> 4) & 0xf];
     }
     memset(sdst + L, 0, Lmax - L);
-    memcpy(cigar_buf + coff, r.cigar.data(), 4 * nc);
+    if (nc)  // empty CIGAR: .data() may be null, UB to pass to memcpy
+      memcpy(cigar_buf + coff, r.cigar.data(), 4 * nc);
     coff += (int64_t)nc;
     cigar_off[n + 1] = coff;
-    memcpy(qname_buf + qoff, r.qname.data(), r.qname.size());
+    if (!r.qname.empty())
+      memcpy(qname_buf + qoff, r.qname.data(), r.qname.size());
     qoff += (int64_t)r.qname.size();
     qname_off[n + 1] = qoff;
     n++;

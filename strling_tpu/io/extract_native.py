@@ -2,7 +2,8 @@
 
 Pipelined loop (default 8 batches in flight): the C++ engine reads, pairs
 and packs each batch directly into the kernel's fused wire payload
-(sio_ex_next_fused — one uint8 buffer per batch, ~62B per 160bp row), and a
+(sio_ex_next_fused — one uint8 buffer per batch, ~51B per 160bp row on
+N-free batches), and a
 small worker-thread pool runs the device dispatch + result fetch so the
 host→device transfer and the fetch round trips of in-flight batches overlap
 each other AND the next batch's BGZF decode. Feeds stay FIFO (the C++ mate
@@ -92,13 +93,18 @@ def native_frag_hist(bam: Bam, skip_reads: int = 100_000,
 class NativeExtractor:
     #: fixed kernel row shapes (remote TPU compiles are minutes each, so rows
     #: pad up to the smallest covering tier; each tier compiles once, cached).
-    #: Grids beyond 32 tiles have shown pathological compile times on the
-    #: remote service, so the largest tier stays at 32768 rows.
-    BUCKETS = (4096, 16384, 32768)
+    #: Grids beyond 32 tiles compile pathologically, so the 65536 tier runs
+    #: as two <=32-tile pallas calls inside one jit (kmer_pallas.MAX_TILES) —
+    #: one transfer/fetch round trip per 64k rows instead of two, which is
+    #: what matters on the ~24ms-RTT / ~67MB/s tunnel where transfers mostly
+    #: serialize (scripts/tunnel_probe.py). A 131072 tier (4 chained calls)
+    #: was tried and compiles for 30+ minutes — not worth the risk for the
+    #: ~20% it would buy.
+    BUCKETS = (4096, 16384, 32768, 65536)
 
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 30_000, Lmax: int | None = None):
+                 batch_records: int = 60_000, Lmax: int | None = None):
         self.lib = _lib()
         self.bam = bam
         # transfer width: the max read length (rounded up) bounds the packed
@@ -146,14 +152,17 @@ class NativeExtractor:
 
     def _next_fused(self):
         """Fused-payload batch: returns (rows, n_records, payload|None,
-        ascii-tuple|None). The payload buffer is pre-zeroed and rows_cap
-        tall, so the scan can use it as an already-padded bucket directly
-        (zero rows scan as empty reads — no Python-side pad copy). The
-        ascii tuple is only filled on the rare IUPAC fallback."""
-        # mirror the engine's meta-format choice (extract_engine.cc)
+        layout, ascii-tuple|None). The payload buffer is pre-zeroed and
+        rows_cap tall, so the scan can use it as an already-padded bucket
+        directly (zero rows scan as empty reads — no Python-side pad copy).
+        The engine picks the smallest wire layout per batch (fb=2 -> "n8",
+        N-free; fb=0 -> "w8"/"w16"); the ascii tuple is only filled on the
+        rare IUPAC fallback (fb=1)."""
+        # widest possible layout bounds the flat buffer; the engine writes
+        # rows at the chosen layout's stride and the buffer is re-viewed
         meta8 = self.Lmax <= 248 and self.proportion_repeat <= 1.0
-        rowW = 3 * self.Lmax // 8 + (11 if meta8 else 22)
-        payload = np.zeros((self.rows_cap, rowW), np.uint8)
+        maxW = 3 * self.Lmax // 8 + (11 if meta8 else 22)
+        buf = np.zeros(self.rows_cap * maxW, np.uint8)
         bases = np.empty((self.rows_cap, self.Lmax), np.uint8)
         lengths = np.empty(self.rows_cap, np.int32)
         props = np.empty(self.rows_cap, np.float64)
@@ -161,15 +170,21 @@ class NativeExtractor:
         fb = C.c_int32(0)
         rows = self.lib.sio_ex_next_fused(
             self._e, self.batch_records, C.byref(n_records),
-            payload.reshape(-1), bases.reshape(-1), lengths, props,
+            buf, bases.reshape(-1), lengths, props,
             self.rows_cap, C.byref(fb),
         )
         if rows < 0:
             raise IOError(self.lib.sio_ex_error(self._e).decode())
         rows = int(rows)
-        if fb.value:
-            return rows, int(n_records.value), None, (bases, lengths, props)
-        return rows, int(n_records.value), payload, None
+        if fb.value == 1:
+            return rows, int(n_records.value), None, None, (
+                bases, lengths, props)
+        if fb.value == 2:
+            layout, rowW = "n8", self.Lmax // 4 + 11
+        else:
+            layout, rowW = ("w8", maxW) if meta8 else ("w16", maxW)
+        payload = buf[: self.rows_cap * rowW].reshape(self.rows_cap, rowW)
+        return rows, int(n_records.value), payload, layout, None
 
     def _feed(self, result):
         lib = _lib()
@@ -205,13 +220,13 @@ class NativeExtractor:
             depth = max(depth, 2 * len(devices))
         EMPTY = "empty"  # sentinel for fast-path-only batches (no scan rows)
 
-        def scan_job(payload, ascii_rows, rows, bucket, dev):
+        def scan_job(payload, layout, ascii_rows, rows, bucket, dev):
             if payload is not None:
                 # the buffer is pre-zeroed and rows_cap tall: slicing to the
                 # bucket IS the padding (no copy); short slices are padded
                 # inside scan_payload
                 return scan_payload(payload[:bucket], rows, backend=backend,
-                                    bucket=bucket, device=dev)
+                                    bucket=bucket, device=dev, layout=layout)
             b, l, p = ascii_rows
             return scan_codes(b[:rows], l[:rows], p[:rows], backend=backend,
                               bucket=bucket)
@@ -220,7 +235,8 @@ class NativeExtractor:
         inflight: deque = deque()
         with ThreadPoolExecutor(max_workers=depth) as pool:
             while True:
-                rows, n_records, payload, ascii_rows = self._next_fused()
+                rows, n_records, payload, layout, ascii_rows = \
+                    self._next_fused()
                 if n_records > 0:
                     if rows > 0:
                         bucket = next(
@@ -230,8 +246,8 @@ class NativeExtractor:
                                if devices else None)
                         batch_i += 1
                         inflight.append(
-                            pool.submit(scan_job, payload, ascii_rows, rows,
-                                        bucket, dev)
+                            pool.submit(scan_job, payload, layout, ascii_rows,
+                                        rows, bucket, dev)
                         )
                     else:
                         inflight.append(EMPTY)

@@ -27,6 +27,8 @@ a decoded ACTG unit in the exact recount.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -253,13 +255,16 @@ def pack_bases(bases: np.ndarray):
     return packed, nbits
 
 
-def unpack_ascii(packed: jnp.ndarray, nbits: jnp.ndarray) -> jnp.ndarray:
-    """Device-side inverse of pack_bases (runs fused inside the jit)."""
+def unpack_ascii(packed: jnp.ndarray, nbits: jnp.ndarray | None) -> jnp.ndarray:
+    """Device-side inverse of pack_bases (runs fused inside the jit).
+    nbits None means the batch is N-free (the "n8" wire layout)."""
     B, L4 = packed.shape
     d = (packed[:, :, None].astype(jnp.int32)
          >> (jnp.arange(4, dtype=jnp.int32) * 2)) & 3
     d = d.reshape(B, L4 * 4)
     a = 65 + 2 * d + 15 * (d == 2).astype(jnp.int32)  # A/C/T/G ASCII
+    if nbits is None:
+        return a.astype(jnp.uint8)
     bits = (nbits[:, :, None].astype(jnp.int32)
             >> jnp.arange(8, dtype=jnp.int32)) & 1
     nm = bits.reshape(B, -1)[:, :L4 * 4]
@@ -272,35 +277,43 @@ def _get_repeat_packed_jit(packed, nbits, lengths, te, tp):
 
 
 # ------------------------------------------------------- fused single-buffer
-# The tunnel costs ~26ms per host<->device call plus ~10ms/MB, so the
-# production dispatch fuses EVERYTHING (2-bit bases, N bitmask, per-row
-# thresholds + length) into ONE uint8 transfer and returns ONE packed [B]
-# int32 result: 2 round trips per batch and ~68 bytes per 160bp row instead
-# of 204. Meta is u8 when everything fits (L <= 248 -> te <= 14, tp <= 124,
-# length <= 248 — i.e. all short-read data), u16 otherwise; the two layouts
-# are distinguished by the row width mod 3 (3L/8 is a multiple of 3, and
-# 11 % 3 == 2, 22 % 3 == 1).
+# The tunnel costs ~26ms per host<->device call plus ~15ms/MB
+# (scripts/tunnel_probe.py), so the production dispatch fuses EVERYTHING
+# (2-bit bases, N bitmask, per-row thresholds + length) into ONE uint8
+# transfer and returns ONE packed [B] int32 result: 2 round trips per batch.
+# Wire layouts (static per jit):
+#   "w8"  [R, 3L/8 + 11]: 2-bit codes + N bitmask + u8 meta (L <= 248 ->
+#         te <= 14, tp <= 124, length <= 248 — i.e. all short-read data)
+#   "n8"  [R, L/4 + 11]:  2-bit codes + u8 meta, NO N plane — used when the
+#         whole batch is N-free (the common case; ~48B per 160bp row)
+#   "w16" [R, 3L/8 + 22]: 2-bit codes + N bitmask + u16 LE meta (L > 248)
+# "auto" infers w8/w16 from the row width mod 3 (3L/8 is a multiple of 3,
+# 11 % 3 == 2, 22 % 3 == 1); "n8" is ambiguous by width alone and must be
+# passed explicitly.
 
 FUSE_META8 = 11   # 5x te u8 + 5x tp u8 + length u8
 FUSE_META16 = 22  # 5x te u16 + 5x tp u16 + length u16, little-endian
 META8_MAX_L = 248
 
 
-def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray):
-    """[R, L] ASCII + lengths + props -> [R, 3L/8 + 11|22] u8 single buffer,
-    or None if the batch needs the ASCII fallback (non-ACGTN bytes, L%8,
-    or values exceeding u16)."""
+def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
+                 return_layout: bool = False):
+    """[R, L] ASCII + lengths + props -> u8 single buffer in the smallest
+    applicable wire layout, or None if the batch needs the ASCII fallback
+    (non-ACGTN bytes, L%8, or values exceeding u16). With return_layout,
+    returns (payload, layout)."""
     R, L = bases.shape
     if L % 8 or L > 65535 or not _ASCII_OK[bases].all():
-        return None
+        return (None, None) if return_layout else None
     te, tp = _host_thresholds(lengths, props)
     if tp.max(initial=0) > 65535 or tp.min(initial=0) < 0:
-        return None
+        return (None, None) if return_layout else None
     codes = (bases >> 1) & 3
     packed = (codes[:, 0::4] | (codes[:, 1::4] << 2) | (codes[:, 2::4] << 4)
               | (codes[:, 3::4] << 6)).astype(np.uint8)
-    nbits = np.packbits(bases == ord("N"), axis=1, bitorder="little")
-    if L <= META8_MAX_L:
+    n_mask = bases == ord("N")
+    meta8 = L <= META8_MAX_L
+    if meta8:
         meta = np.empty((R, 11), np.uint8)
         meta[:, :5] = te
         meta[:, 5:10] = tp
@@ -312,18 +325,35 @@ def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray):
         meta[:, 5:10] = tp
         meta[:, 10] = lengths
         mbytes = meta.view(np.uint8)
-    return np.concatenate([packed, nbits, mbytes], axis=1, dtype=np.uint8)
+    if meta8 and not n_mask.any():
+        layout = "n8"
+        parts = [packed, mbytes]
+    else:
+        layout = "w8" if meta8 else "w16"
+        nbits = np.packbits(n_mask, axis=1, bitorder="little")
+        parts = [packed, nbits, mbytes]
+    out = np.concatenate(parts, axis=1, dtype=np.uint8)
+    return (out, layout) if return_layout else out
 
 
-def unfuse_payload(payload: jnp.ndarray):
-    """Device-side inverse of fuse_payload (fused into the jit). The meta
-    width is static (row width mod 3: 2 -> u8 meta, 1 -> u16 meta)."""
+def unfuse_payload(payload: jnp.ndarray, layout: str = "auto"):
+    """Device-side inverse of fuse_payload (fused into the jit). `layout`
+    is static; "auto" infers w8/w16 from the row width mod 3."""
     R, Wp = payload.shape
-    meta_w = FUSE_META8 if Wp % 3 == 2 else FUSE_META16
-    L = (Wp - meta_w) * 8 // 3
-    pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
-    nb = jax.lax.slice(payload, (0, L // 4), (R, 3 * L // 8))
-    meta = jax.lax.slice(payload, (0, 3 * L // 8), (R, Wp))
+    if layout == "auto":
+        layout = "w8" if Wp % 3 == 2 else "w16"
+    if layout == "n8":
+        L = (Wp - FUSE_META8) * 4
+        pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
+        nb = None
+        meta_off, meta_w = L // 4, FUSE_META8
+    else:
+        meta_w = FUSE_META8 if layout == "w8" else FUSE_META16
+        L = (Wp - meta_w) * 8 // 3
+        pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
+        nb = jax.lax.slice(payload, (0, L // 4), (R, 3 * L // 8))
+        meta_off = 3 * L // 8
+    meta = jax.lax.slice(payload, (0, meta_off), (R, Wp))
     if meta_w == FUSE_META8:
         m = meta.astype(jnp.int32)
     else:
@@ -357,9 +387,9 @@ def _unit_to_code_device(unit: jnp.ndarray, unit_len: jnp.ndarray):
     return code
 
 
-@jax.jit
-def _fused_xla_jit(payload):
-    bases, lengths, te, tp = unfuse_payload(payload)
+@partial(jax.jit, static_argnums=(1,))
+def _fused_xla_jit(payload, layout="auto"):
+    bases, lengths, te, tp = unfuse_payload(payload, layout)
     unit, ulen, cnt = get_repeat_device(bases, lengths, te, tp)
     return pack_result(_unit_to_code_device(unit, ulen), ulen, cnt)
 
@@ -460,14 +490,15 @@ def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
         props = np.concatenate([props, np.full(padded - R, 0.8)])
     use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
     if pack:
-        payload = fuse_payload(bases, lengths, props)
+        payload, layout = fuse_payload(bases, lengths, props,
+                                       return_layout=True)
         if payload is not None:
             if use_pallas:
                 from strling_tpu.ops.kmer_pallas import _pallas_fused_jit
 
-                out = _pallas_fused_jit(jnp.asarray(payload))
+                out = _pallas_fused_jit(jnp.asarray(payload), layout)
             else:
-                out = _fused_xla_jit(jnp.asarray(payload))
+                out = _fused_xla_jit(jnp.asarray(payload), layout)
 
             def fetch():
                 code, ulen, cnt = unpack_result(out)
@@ -522,8 +553,8 @@ def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
 
 
 def scan_payload(payload: np.ndarray, n_rows: int, backend: str = "auto",
-                 bucket: int = 4096, device=None):
-    """Scan a pre-fused payload (rows already in fuse_payload wire layout,
+                 bucket: int = 4096, device=None, layout: str = "auto"):
+    """Scan a pre-fused payload (rows already in a fuse_payload wire layout,
     e.g. produced by the C++ engine's sio_ex_next_fused). Pads rows to
     `bucket` multiples (zero rows scan as empty reads), runs the fused jit,
     returns packed (code, len, count) int32 numpy arrays for the first
@@ -542,8 +573,8 @@ def scan_payload(payload: np.ndarray, n_rows: int, backend: str = "auto",
     if use_pallas:
         from strling_tpu.ops.kmer_pallas import _pallas_fused_jit
 
-        out = _pallas_fused_jit(arr)
+        out = _pallas_fused_jit(arr, layout)
     else:
-        out = _fused_xla_jit(arr)
+        out = _fused_xla_jit(arr, layout)
     code, ulen, cnt = unpack_result(out)
     return code[:n_rows], ulen[:n_rows], cnt[:n_rows]

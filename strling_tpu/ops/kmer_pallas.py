@@ -300,6 +300,13 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
     return out[0][0], out[1][0], out[2][0]
 
 
+#: grids beyond 32 tiles have shown pathological Mosaic compile times on the
+#: remote service, so larger batches run as a chain of <=32-tile pallas
+#: calls inside one jit (one transfer, one result — the tunnel-round-trip
+#: cost per batch is what the big batches amortize).
+MAX_TILES = 32
+
+
 def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
                              interpret: bool = False):
     """Drop-in for ops.kmer.get_repeat_device (same [B, L] inputs), returning
@@ -311,10 +318,19 @@ def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
         lengths = jnp.pad(lengths, (0, pad))
         thresh_early = jnp.pad(thresh_early, ((0, pad), (0, 0)))
         thresh_prop = jnp.pad(thresh_prop, ((0, pad), (0, 0)))
-    code, klen, cnt = get_repeat_codes_pallas(
-        bases.T, lengths, thresh_early.T.astype(jnp.int32),
-        thresh_prop.T.astype(jnp.int32), interpret=interpret,
-    )
+    Bp = B + pad
+    chunk = MAX_TILES * TILE_B
+    outs = []
+    for s in range(0, Bp, chunk):
+        e = min(s + chunk, Bp)
+        outs.append(get_repeat_codes_pallas(
+            bases[s:e].T, lengths[s:e],
+            thresh_early[s:e].T.astype(jnp.int32),
+            thresh_prop[s:e].T.astype(jnp.int32), interpret=interpret,
+        ))
+    code, klen, cnt = (jnp.concatenate([o[i] for o in outs])
+                       if len(outs) > 1 else outs[0][i]
+                       for i in range(3))
     if pad:
         code, klen, cnt = code[:B], klen[:B], cnt[:B]
     return code, klen, cnt
@@ -332,13 +348,17 @@ def _pallas_packed_jit(packed, nbits, lengths, te, tp):
     return get_repeat_device_pallas(unpack_ascii(packed, nbits), lengths, te, tp)
 
 
-@jax.jit
-def _pallas_fused_jit(payload):
+from functools import partial  # noqa: E402
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _pallas_fused_jit(payload, layout="auto"):
     """Single-transfer variant: one u8 payload in, one packed [B] i32 out.
-    See ops.kmer.fuse_payload for the layout and the tunnel-cost rationale."""
+    See ops.kmer.fuse_payload for the layouts and the tunnel-cost
+    rationale. `layout` is static ("w8"/"w16"/"n8"/"auto")."""
     from strling_tpu.ops.kmer import pack_result, unfuse_payload
 
-    bases, lengths, te, tp = unfuse_payload(payload)
+    bases, lengths, te, tp = unfuse_payload(payload, layout)
     code, ulen, cnt = get_repeat_device_pallas(bases, lengths, te, tp)
     return pack_result(code, ulen, cnt)
 

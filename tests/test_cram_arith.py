@@ -186,3 +186,70 @@ def test_tok3_arith_streams():
     n = lib.sio_tok3_decode(enc, len(enc), len(blob), out, len(out))
     assert n == len(blob)
     assert bytes(out[:n]) == blob
+
+
+def test_cram31_arith_file_roundtrip(tmp_path):
+    """Whole CRAM 3.1 file whose blocks use the adaptive arithmetic codec,
+    fqzcomp for stored qualities and arithmetic tok3 name streams: must
+    decode to the same records as the BAM, both with QS-skip (default) and
+    with full decode (STRLING_CRAM_DECODE_ALL=1 subprocess)."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cram import (HEADER, TARGETS, assert_same_records, make_records,
+                           make_ref)
+    from strling_tpu.io.bamwrite import BamRecord, write_bam
+    from strling_tpu.io.cramwrite import write_cram
+    from strling_tpu.io.fasta import write_fasta
+
+    ref = make_ref()
+    rng = random.Random(21)
+    recs = []
+    for r in make_records(ref):
+        recs.append(BamRecord(r.qname, r.flag, r.tid, r.pos, r.mapq,
+                              list(r.cigar), r.mate_tid, r.mate_pos, r.isize,
+                              r.seq,
+                              qual=bytes(rng.randrange(0, 42)
+                                         for _ in r.seq)))
+    d = tmp_path
+    fa = str(d / "ref.fa")
+    write_fasta(fa, ref)
+    bam = str(d / "a.bam")
+    write_bam(bam, HEADER, TARGETS, recs)
+    p = str(d / "a31.cram")
+    write_cram(p, HEADER, TARGETS, recs, fasta=fa, slice_size=57, v31=True,
+               v31_arith=True)
+    with open(p, "rb") as f:
+        assert f.read(6) == b"CRAM\x03\x01"
+    # default mode: QS blocks skipped, arith/tok3a blocks decoded
+    assert_same_records(bam, p, fasta=fa)
+
+    # decode-all subprocess: the fqz QS block must decode in situ
+    script = d / "dump.py"
+    script.write_text(
+        "import sys\n"
+        "sys.path.insert(0, %r)\n"
+        "sys.path.insert(0, %r)\n"
+        "from strling_tpu.io.bam import Bam\n"
+        "from test_cram import collect\n"
+        "c = Bam(sys.argv[1], fasta=sys.argv[2])\n"
+        "recs = collect(c.batches())\n"
+        "import hashlib\n"
+        "print(hashlib.sha256(repr(recs).encode()).hexdigest())\n"
+        % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+           os.path.dirname(os.path.abspath(__file__)))
+    )
+    env_skip = dict(os.environ)
+    env_skip.pop("STRLING_CRAM_DECODE_ALL", None)
+    env_full = dict(env_skip, STRLING_CRAM_DECODE_ALL="1")
+    outs = []
+    for env in (env_skip, env_full):
+        r = subprocess.run(
+            [sys.executable, str(script), p, fa],
+            capture_output=True, timeout=120, env=env,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-800:]
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1]

@@ -73,10 +73,12 @@ def test_fused_payload_matches_python_fuse(str_bam):
     rows1, n1, bases, lengths, props = ne1._next()
     # fused rows via the new path
     ne2 = NativeExtractor(Bam(str_bam), 0.8, 40, med)
-    rows2, n2, payload, ascii_rows = ne2._next_fused()
+    rows2, n2, payload, layout, ascii_rows = ne2._next_fused()
     assert (rows1, n1) == (rows2, n2) and rows1 > 0
     assert ascii_rows is None, "ACGT-only data must not fall back"
-    want = fuse_payload(bases[:rows1], lengths[:rows1], props[:rows1])
+    want, want_layout = fuse_payload(bases[:rows1], lengths[:rows1],
+                                     props[:rows1], return_layout=True)
+    assert layout == want_layout
     np.testing.assert_array_equal(payload[:rows1], want)
     assert not payload[rows1:].any()  # pre-padded tail stays zero
 
@@ -106,7 +108,7 @@ def test_fused_payload_iupac_fallback(tmp_path):
     p = tmp_path / "iupac.bam"
     write_bam(str(p), HEADER, TARGETS, recs)
     ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350)
-    rows, n, payload, ascii_rows = ne._next_fused()
+    rows, n, payload, layout, ascii_rows = ne._next_fused()
     assert rows > 0 and payload is None and ascii_rows is not None
     bases, lengths, props = ascii_rows
     assert any(b"R" in bytes(bases[r, : lengths[r]]) for r in range(rows))
@@ -114,3 +116,45 @@ def test_fused_payload_iupac_fallback(tmp_path):
     tb_nat, _, _ = extract_native(Bam(str(p)), None, None)
     tb_py, _, _ = extract(Bam(str(p)), None, None)
     _cmp(tb_nat, tb_py)
+
+
+def test_fused_payload_n_plane_layouts(tmp_path):
+    """Batches with any N must use the w8 layout (N bitmask plane); N-free
+    batches drop the plane (n8). Both must match Python fuse_payload
+    byte-for-byte and produce identical treads."""
+    from test_extract import HEADER, TARGETS
+    from strling_tpu.io.bamwrite import BamRecord, write_bam
+    from strling_tpu.io.extract_native import NativeExtractor
+    from strling_tpu.ops.kmer import fuse_payload
+
+    rng = np.random.default_rng(4)
+    alphabet = np.array(list("ACGT"))
+    for with_n, want_layout in ((False, "n8"), (True, "w8")):
+        recs = []
+        for i in range(40):
+            pos = 1000 + i * 53
+            s = "".join(alphabet[rng.integers(0, 4, 104)])
+            if with_n and i == 11:
+                s = s[:30] + "NNN" + s[33:]
+            recs.append(BamRecord(f"p{i}", 99, 0, pos, 60, "104M", 0,
+                                  pos + 200, 304, s))
+            recs.append(BamRecord(f"p{i}", 147, 0, pos + 200, 60, "104M", 0,
+                                  pos, -304, "".join(
+                                      alphabet[rng.integers(0, 4, 104)])))
+        recs.sort(key=lambda r: r.pos)
+        p = tmp_path / f"n{int(with_n)}.bam"
+        write_bam(str(p), HEADER, TARGETS, recs)
+        ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350, Lmax=104)
+        rows, n, payload, layout, ascii_rows = ne._next_fused()
+        assert rows > 0 and ascii_rows is None
+        assert layout == want_layout
+        ne2 = NativeExtractor(Bam(str(p)), 0.8, 40, 350, Lmax=104)
+        rows2, n2, bases, lengths, props = ne2._next()
+        want, wl = fuse_payload(bases[:rows], lengths[:rows], props[:rows],
+                                return_layout=True)
+        assert wl == want_layout
+        np.testing.assert_array_equal(payload[:rows], want)
+        # end-to-end equality through the scan
+        tb_nat, _, _ = extract_native(Bam(str(p)), None, None)
+        tb_py, _, _ = extract(Bam(str(p)), None, None)
+        _cmp(tb_nat, tb_py)
