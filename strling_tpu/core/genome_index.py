@@ -69,12 +69,32 @@ def trim(w: Window, dna: str) -> Window:
     return w
 
 
+def _provably_zero_rows(bases: np.ndarray, lens: np.ndarray,
+                        prop: float) -> np.ndarray:
+    """Vectorized host prefilter, same bound as extract_engine.cc
+    provably_zero: for any k in 2..6 the kernel's exact non-overlapping
+    modal-kmer count is <= the max positional count over the 16 dimers, and
+    tp[k] = trunc(len*prop/k) (utils.nim:259) is smallest at k=6 — so rows
+    with max_dimer <= trunc(len*prop/6) are provably count==0 and need no
+    device scan. Pad bytes alias base codes and only OVERcount (sound)."""
+    codes = (bases >> 1) & 3
+    dimers = (codes[:, :-1] << 2) | codes[:, 1:]
+    B, W = dimers.shape
+    rowoff = np.arange(B, dtype=np.int64)[:, None] * 16
+    counts = np.bincount((dimers.astype(np.int64) + rowoff).ravel(),
+                         minlength=B * 16).reshape(B, 16)
+    tp6 = (lens.astype(np.float64) * prop / 6.0).astype(np.int64)
+    return counts.max(axis=1) <= tp6
+
+
 def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
                    step: int = STEP, batch_windows: int = 32768):
     """Yield merged, trimmed STR windows over every chromosome
     (genome_strs.nim:61-92), with the per-window repeat detection batched
     through the device kernel (fused 2-bit payload, 32k-window batches —
-    a human genome is ~53M windows, so transfer width matters)."""
+    a human genome is ~53M windows, so transfer width matters). Windows
+    that the dimer-count bound proves repeat-free (the overwhelming
+    majority of a real genome) never reach the device."""
     for chrom in fai.names:
         L = fai.chrom_len(chrom)
         if L > 2_000_000:
@@ -104,11 +124,19 @@ def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
             if bases.shape[1] % 8:
                 padc = 8 - bases.shape[1] % 8
                 bases = np.pad(bases, ((0, 0), (0, padc)))
-            code, ulen, count = scan_codes(
-                bases, lens, np.full(len(lens), opts.proportion_repeat),
-                bucket=batch_windows,
-            )
-            units_all.extend(unpack_unit_codes(code, ulen))
+            zero = _provably_zero_rows(bases, lens, opts.proportion_repeat)
+            cand = np.flatnonzero(~zero)
+            count = np.zeros(len(lens), np.int64)
+            units = [""] * len(lens)
+            if len(cand):
+                code_c, ulen_c, count_c = scan_codes(
+                    np.ascontiguousarray(bases[cand]), lens[cand],
+                    np.full(len(cand), opts.proportion_repeat),
+                )
+                count[cand] = count_c
+                for i, u in zip(cand, unpack_unit_codes(code_c, ulen_c)):
+                    units[i] = u
+            units_all.extend(units)
             counts_all.extend(count.tolist())
 
         last_w = Window(stop=-1)

@@ -831,6 +831,11 @@ def fqz_encode(recs: list[bytes], qbits: int = 8, qshift: int = 5,
         pflags |= FQZ_HAVE_PTAB
     if dtab is not None:
         pflags |= FQZ_HAVE_DTAB
+    if not do_len and recs:
+        # without DO_LEN only the first record's length is coded; the
+        # decoder assumes every record shares it
+        assert all(len(r) == len(recs[0]) for r in recs), \
+            "do_len=False requires fixed-length records"
     out = bytearray([5, 0])  # vers, gflags (single param, no selector/rev)
     out += struct.pack("<H", context)
     out.append(pflags)

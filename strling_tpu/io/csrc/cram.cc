@@ -832,8 +832,11 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
   }
 
   RangeDec rc(&b);
+  // contexts are lazily initialized on first use (as the Python encoder
+  // does): eagerly init-ing all 65536 models costs ~50MB and >130k heap
+  // allocations per block, which attacker-supplied many-container files
+  // would amplify
   std::vector<AModel> qual(1 << 16);
-  for (auto& m : qual) m.init(p.max_sym);
   AModel lens[4];
   for (auto& m : lens) m.init(256);
   AModel dup;
@@ -884,7 +887,9 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
     uint32_t qctx = 0;
     int q1 = 0, delta = 0;
     for (uint32_t i = 0; i < rec_len; i++) {
-      int q = qual[ctx & 0xffff].decode(rc);
+      AModel& qm = qual[ctx & 0xffff];
+      if (qm.nsym == 0) qm.init(p.max_sym);
+      int q = qm.decode(rc);
       if (q < 0) {
         *err = "fqzcomp: corrupt quality stream";
         return false;

@@ -139,6 +139,7 @@ struct Engine {
   int Lmax = 256;
 
   bool has_gi = false;
+  bool prefilter = true;
   std::vector<std::vector<int64_t>> gi_starts, gi_pmax;
 
   std::unordered_map<std::string, Tread> tbl;
@@ -180,6 +181,34 @@ struct Engine {
   bool gi_has_chrom(int tid) const {
     return has_gi && tid >= 0 && tid < (int)gi_starts.size() &&
            !gi_starts[tid].empty();
+  }
+
+  // Host prefilter: prove the device kernel would return count==0 for this
+  // row without running it. The kernel reports a repeat only when some
+  // k in 2..6 has exact non-overlapping modal-kmer count > tp[k] where
+  // tp[k] = trunc(len * prop / k) (utils.nim:259; same double expression as
+  // the fused meta below). Every non-overlapping occurrence of a k-mer
+  // (k >= 2) contains an occurrence of that k-mer's FIRST DIMER at a
+  // distinct position, so exact_k <= max over the 16 dimers of that dimer's
+  // positional count. tp[k] is decreasing in k, so if
+  //   max_dimer_count <= tp[6] = trunc(len * prop / 6)
+  // then exact_k <= tp[k] for every k and the kernel result is exactly
+  // zero — the row never needs to reach the device. Random (non-STR) reads
+  // satisfy this with overwhelming probability (~L/16 expected vs the
+  // ~0.13*L threshold), which removes ~97% of tunnel payload on WGS-like
+  // input. Dimer codes use (c>>1)&3, so N/IUPAC bytes alias real bases and
+  // can only OVERcount — the bound stays sound.
+  static int max_dimer_count(const uint8_t* s, int len) {
+    int cnt[16] = {0};
+    for (int j = 0; j + 2 <= len; j++)
+      cnt[(((s[j] >> 1) & 3) << 2) | ((s[j + 1] >> 1) & 3)]++;
+    int mx = 0;
+    for (int v : cnt) mx = std::max(mx, v);
+    return mx;
+  }
+
+  bool provably_zero(const uint8_t* s, int len, double prop) const {
+    return max_dimer_count(s, len) <= (int)(int64_t)((double)len * prop / 6.0);
   }
 
   void decode_seq(const BamRec& r, std::string* seq) const {
@@ -283,41 +312,70 @@ struct Engine {
       }
 
       int L = std::min<int32_t>(p.read_len, Lmax);
+      bool decoded = false;
       if (!p.fast) {
         decode_seq(r, &seq);
-        p.scan_row = rows;
-        memcpy(bases + rows * Lmax, seq.data(), L);
-        memset(bases + rows * Lmax + L, 0, Lmax - L);
-        lengths[rows] = L;
-        props[rows] = proportion_repeat;
-        rows++;
+        decoded = true;
+        if (prefilter &&
+            provably_zero((const uint8_t*)seq.data(), L, proportion_repeat)) {
+          p.scan_row = -2;  // kernel result is provably zero; no device row
+        } else {
+          p.scan_row = rows;
+          memcpy(bases + rows * Lmax, seq.data(), L);
+          memset(bases + rows * Lmax + L, 0, Lmax - L);
+          lengths[rows] = L;
+          props[rows] = proportion_repeat;
+          rows++;
+        }
       }
-      // soft-clip rows, two proportion variants each (extract.py phase A)
+      // soft-clip rows, two proportion variants each (extract.py phase A).
+      // Both variants share a prefilter bound at the smaller of the two
+      // proportions: if the clip is provably zero at min(prop) it is zero
+      // at both, and add_soft's `row < 0` branch already means "count 0".
+      const double clip_prop_min =
+          std::min(std::min(proportion_repeat, 0.6), proportion_repeat - 0.07);
       if (p.mapq >= min_mapq) {
         if (p.lclip >= 2) {
-          if (p.scan_row < 0) decode_seq(r, &seq);
+          if (!decoded) {
+            decode_seq(r, &seq);
+            decoded = true;
+          }
           int cl = std::min<int32_t>(p.lclip, Lmax);
-          p.clip_row_l = rows;
-          for (int v = 0; v < 2; v++) {
-            memcpy(bases + rows * Lmax, seq.data(), cl);
-            memset(bases + rows * Lmax + cl, 0, Lmax - cl);
-            lengths[rows] = cl;
-            props[rows] = v == 0 ? std::min(proportion_repeat, 0.6)
-                                 : proportion_repeat - 0.07;
-            rows++;
+          if (prefilter &&
+              provably_zero((const uint8_t*)seq.data(), cl, clip_prop_min)) {
+            // leave clip_row_l = -1: same handling as a <2bp clip
+          } else {
+            p.clip_row_l = rows;
+            for (int v = 0; v < 2; v++) {
+              memcpy(bases + rows * Lmax, seq.data(), cl);
+              memset(bases + rows * Lmax + cl, 0, Lmax - cl);
+              lengths[rows] = cl;
+              props[rows] = v == 0 ? std::min(proportion_repeat, 0.6)
+                                   : proportion_repeat - 0.07;
+              rows++;
+            }
           }
         }
         if (p.rclip >= 2) {
-          if (p.scan_row < 0 && p.clip_row_l < 0) decode_seq(r, &seq);
+          if (!decoded) {
+            decode_seq(r, &seq);
+            decoded = true;
+          }
           int cl = std::min<int32_t>(p.rclip, Lmax);
-          p.clip_row_r = rows;
-          for (int v = 0; v < 2; v++) {
-            memcpy(bases + rows * Lmax, seq.data() + L - cl, cl);
-            memset(bases + rows * Lmax + cl, 0, Lmax - cl);
-            lengths[rows] = cl;
-            props[rows] = v == 0 ? std::min(proportion_repeat, 0.6)
-                                 : proportion_repeat - 0.07;
-            rows++;
+          if (prefilter &&
+              provably_zero((const uint8_t*)seq.data() + L - cl, cl,
+                            clip_prop_min)) {
+            // leave clip_row_r = -1
+          } else {
+            p.clip_row_r = rows;
+            for (int v = 0; v < 2; v++) {
+              memcpy(bases + rows * Lmax, seq.data() + L - cl, cl);
+              memset(bases + rows * Lmax + cl, 0, Lmax - cl);
+              lengths[rows] = cl;
+              props[rows] = v == 0 ? std::min(proportion_repeat, 0.6)
+                                   : proportion_repeat - 0.07;
+              rows++;
+            }
           }
         }
       }
@@ -423,6 +481,11 @@ struct Engine {
       if (p.fast) {
         tr.repeat_count = 0;
         tr.align_length = (uint8_t)p.m_len;
+      } else if (p.scan_row == -2) {
+        // prefiltered: the kernel would have returned count 0 (see
+        // provably_zero); identical downstream state to a zero scan result
+        tr.repeat_count = 0;
+        tr.align_length = (uint8_t)std::min<int32_t>(p.read_len, Lmax);
       } else {
         const KernelResult& kr = results[p.scan_row];
         assert(kr.count < 256);
@@ -660,6 +723,12 @@ int sio_ex_set_shard(void* ve, const int32_t* tids, int64_t n_tids,
     if (tids[i] >= 0 && tids[i] < n) e->owned[tids[i]] = true;
   e->shard_unplaced = include_unplaced != 0;
   return 0;
+}
+
+// Toggle the host dimer-bound prefilter (on by default; tests disable it to
+// cross-check that outputs are byte-identical either way).
+void sio_ex_set_prefilter(void* ve, int enabled) {
+  ((Engine*)ve)->prefilter = enabled != 0;
 }
 
 int64_t sio_ex_n_spill(void* ve) {

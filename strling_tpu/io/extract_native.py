@@ -54,6 +54,7 @@ def _bind(lib):
     ]
     lib.sio_ex_set_shard.restype = C.c_int
     lib.sio_ex_set_shard.argtypes = [C.c_void_p, P(np.int32), C.c_int64, C.c_int]
+    lib.sio_ex_set_prefilter.argtypes = [C.c_void_p, C.c_int]
     lib.sio_ex_n_spill.restype = C.c_int64
     lib.sio_ex_n_spill.argtypes = [C.c_void_p]
     lib.sio_ex_get_spill.restype = C.c_int64
@@ -104,7 +105,8 @@ class NativeExtractor:
 
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 60_000, Lmax: int | None = None):
+                 batch_records: int = 60_000, Lmax: int | None = None,
+                 prefilter: bool = True):
         self.lib = _lib()
         self.bam = bam
         # transfer width: the max read length (rounded up) bounds the packed
@@ -118,6 +120,8 @@ class NativeExtractor:
         self._e = self.lib.sio_ex_create(
             bam._h, proportion_repeat, min_mapq, median_fragment_length, self.Lmax
         )
+        if not prefilter:
+            self.lib.sio_ex_set_prefilter(self._e, 0)
         if genome_index is not None:
             name_to_tid = {t.name: t.tid for t in bam.targets}
             for chrom, (starts, pmax) in genome_index.by_chrom.items():

@@ -336,12 +336,16 @@ def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
     return (out, layout) if return_layout else out
 
 
-def unfuse_payload(payload: jnp.ndarray, layout: str = "auto"):
+def unfuse_payload(payload: jnp.ndarray, layout: str):
     """Device-side inverse of fuse_payload (fused into the jit). `layout`
-    is static; "auto" infers w8/w16 from the row width mod 3."""
+    is static and must be the layout the producer reported ("w8"/"w16"/
+    "n8") — row widths are ambiguous between n8 and w8/w16 (e.g. L=96 n8
+    and L=64 w8 are both width 35), so there is no safe inference."""
     R, Wp = payload.shape
-    if layout == "auto":
-        layout = "w8" if Wp % 3 == 2 else "w16"
+    if layout not in ("w8", "w16", "n8"):
+        raise ValueError(
+            f"layout must be the producer-reported 'w8'/'w16'/'n8', got "
+            f"{layout!r}: widths are ambiguous between layouts")
     if layout == "n8":
         L = (Wp - FUSE_META8) * 4
         pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
@@ -388,7 +392,7 @@ def _unit_to_code_device(unit: jnp.ndarray, unit_len: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _fused_xla_jit(payload, layout="auto"):
+def _fused_xla_jit(payload, layout):
     bases, lengths, te, tp = unfuse_payload(payload, layout)
     unit, ulen, cnt = get_repeat_device(bases, lengths, te, tp)
     return pack_result(_unit_to_code_device(unit, ulen), ulen, cnt)
@@ -552,8 +556,8 @@ def scan_codes(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
     return scan_codes_dispatch(bases, lengths, props, backend, bucket, pack)()
 
 
-def scan_payload(payload: np.ndarray, n_rows: int, backend: str = "auto",
-                 bucket: int = 4096, device=None, layout: str = "auto"):
+def scan_payload(payload: np.ndarray, n_rows: int, layout: str,
+                 backend: str = "auto", bucket: int = 4096, device=None):
     """Scan a pre-fused payload (rows already in a fuse_payload wire layout,
     e.g. produced by the C++ engine's sio_ex_next_fused). Pads rows to
     `bucket` multiples (zero rows scan as empty reads), runs the fused jit,

@@ -82,7 +82,12 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         rowi = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
         coli = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
         sel = (coli == rowi * k).astype(jnp.float32)
+        # Precision.HIGHEST forces a true-f32 MXU contraction (Mosaic only
+        # emits #tpu.contract_precision<fp32> for HIGHEST); the default may
+        # lower to bf16 passes, which would round kmin codes >= 256 — every
+        # 5/6-mer window code. f32 values < 4096 are exact under HIGHEST.
         wmin = jnp.dot(sel, kmin_all.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
         win_end = (jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) + 1) * k
         validw = win_end <= lengths  # [W, TB]
@@ -352,10 +357,10 @@ from functools import partial  # noqa: E402
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _pallas_fused_jit(payload, layout="auto"):
+def _pallas_fused_jit(payload, layout):
     """Single-transfer variant: one u8 payload in, one packed [B] i32 out.
     See ops.kmer.fuse_payload for the layouts and the tunnel-cost
-    rationale. `layout` is static ("w8"/"w16"/"n8"/"auto")."""
+    rationale. `layout` is static ("w8"/"w16"/"n8")."""
     from strling_tpu.ops.kmer import pack_result, unfuse_payload
 
     bases, lengths, te, tp = unfuse_payload(payload, layout)

@@ -107,7 +107,9 @@ def test_fused_payload_iupac_fallback(tmp_path):
     recs.sort(key=lambda r: r.pos)
     p = tmp_path / "iupac.bam"
     write_bam(str(p), HEADER, TARGETS, recs)
-    ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350)
+    # prefilter off: random reads (incl. the R one) are provably zero and
+    # would never reach the wire — this test exercises the fallback layout
+    ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350, prefilter=False)
     rows, n, payload, layout, ascii_rows = ne._next_fused()
     assert rows > 0 and payload is None and ascii_rows is not None
     bases, lengths, props = ascii_rows
@@ -144,11 +146,15 @@ def test_fused_payload_n_plane_layouts(tmp_path):
         recs.sort(key=lambda r: r.pos)
         p = tmp_path / f"n{int(with_n)}.bam"
         write_bam(str(p), HEADER, TARGETS, recs)
-        ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350, Lmax=104)
+        # prefilter off: this test pins the wire layouts, which need the
+        # random/N rows that the prefilter would (correctly) drop
+        ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350, Lmax=104,
+                             prefilter=False)
         rows, n, payload, layout, ascii_rows = ne._next_fused()
         assert rows > 0 and ascii_rows is None
         assert layout == want_layout
-        ne2 = NativeExtractor(Bam(str(p)), 0.8, 40, 350, Lmax=104)
+        ne2 = NativeExtractor(Bam(str(p)), 0.8, 40, 350, Lmax=104,
+                              prefilter=False)
         rows2, n2, bases, lengths, props = ne2._next()
         want, wl = fuse_payload(bases[:rows], lengths[:rows], props[:rows],
                                 return_layout=True)
@@ -158,3 +164,104 @@ def test_fused_payload_n_plane_layouts(tmp_path):
         tb_nat, _, _ = extract_native(Bam(str(p)), None, None)
         tb_py, _, _ = extract(Bam(str(p)), None, None)
         _cmp(tb_nat, tb_py)
+
+
+def _max_dimer(s: str) -> int:
+    cnt = {}
+    for j in range(len(s) - 1):
+        d = s[j:j + 2]
+        cnt[d] = cnt.get(d, 0) + 1
+    return max(cnt.values(), default=0)
+
+
+def test_prefilter_bound_sound_vs_oracle():
+    """The engine's dimer-count bound (extract_engine.cc provably_zero) must
+    never filter a read the oracle detector reports a repeat for: for every
+    k in 2..6, exact_k <= max dimer count, and tp[k] >= tp[6], so
+    max_dimer <= trunc(L*prop/6) implies count == 0 (utils.nim:251,259)."""
+    from strling_tpu.ops.oracle import get_repeat as oracle_get_repeat
+
+    rng = np.random.default_rng(123)
+    alphabet = np.array(list("ACGT"))
+    units = ["CAG", "AT", "AAGGG", "ATTCT", "A", "AAC", "CCG", "TTTA"]
+    for prop in (0.8, 0.6, 0.73, 0.5):
+        for i in range(300):
+            L = int(rng.integers(10, 152))
+            s = "".join(alphabet[rng.integers(0, 4, L)])
+            mode = i % 4
+            if mode == 1:  # borderline: half repeat, half random
+                u = units[i % len(units)]
+                rep = (u * (L // len(u) + 1))[:L // 2]
+                s = rep + s[len(rep):]
+            elif mode == 2:  # full repeat with noise
+                u = units[i % len(units)]
+                arr = list((u * (L // len(u) + 1))[:L])
+                for _ in range(int(rng.integers(0, max(1, L // 6)))):
+                    arr[int(rng.integers(0, L))] = alphabet[
+                        int(rng.integers(0, 4))]
+                s = "".join(arr)
+            elif mode == 3 and L > 4:  # N-spiked
+                arr = list(s)
+                for _ in range(int(rng.integers(0, 5))):
+                    arr[int(rng.integers(0, L))] = "N"
+                s = "".join(arr)
+            if _max_dimer(s) <= int(L * prop / 6.0):
+                unit, cnt = oracle_get_repeat(s, prop)
+                assert cnt == 0, (s, prop, unit, cnt)
+
+
+def test_prefilter_equivalence(tmp_path):
+    """NativeExtractor output must be byte-identical with the prefilter on
+    and off, on input mixing random, repeat, borderline, N-rich and
+    soft-clipped reads."""
+    from test_extract import HEADER, TARGETS
+    from strling_tpu.io.bamwrite import BamRecord, write_bam
+    from strling_tpu.io.extract_native import NativeExtractor
+
+    rng = np.random.default_rng(17)
+    alphabet = np.array(list("ACGT"))
+    units = ["CAG", "AT", "AAGGG", "A"]
+    recs = []
+    for i in range(120):
+        pos = 1000 + i * 61
+        L = 120
+        s1 = "".join(alphabet[rng.integers(0, 4, L)])
+        s2 = "".join(alphabet[rng.integers(0, 4, L)])
+        u = units[i % len(units)]
+        if i % 5 == 0:  # full STR read
+            s2 = (u * (L // len(u) + 1))[:L]
+        elif i % 5 == 1:  # borderline half-repeat
+            rep = (u * (L // len(u) + 1))[:L // 2]
+            s2 = rep + s2[L // 2:]
+        elif i % 5 == 2:  # N-rich
+            arr = list(s2)
+            for j in range(0, 30, 3):
+                arr[j] = "N"
+            s2 = "".join(arr)
+        cig1, cig2 = f"{L}M", f"{L}M"
+        if i % 7 == 0:  # repeat-y left clip on the anchored mate
+            clip = ("CAG" * 12)[:30]
+            s1 = clip + s1[30:]
+            cig1 = f"30S{L-30}M"
+        elif i % 7 == 1:  # random clip (should be filtered, count 0)
+            cig1 = f"25S{L-25}M"
+        isz = 300
+        recs.append(BamRecord(f"q{i}", 0x63, 0, pos, 60, cig1, 0,
+                              pos + isz - L, isz, s1))
+        recs.append(BamRecord(f"q{i}", 0x93, 0, pos + isz - L,
+                              int(rng.integers(0, 61)), cig2, 0, pos, -isz,
+                              s2))
+    recs.sort(key=lambda r: r.pos)
+    p = tmp_path / "mix.bam"
+    write_bam(str(p), HEADER, TARGETS, recs)
+    outs = []
+    for pf in (True, False):
+        ne = NativeExtractor(Bam(str(p)), 0.8, 40, 350, prefilter=pf)
+        outs.append(ne.run())
+    _cmp(outs[0], outs[1])
+    # the filter must actually fire: with it on, fewer device rows
+    ne_on = NativeExtractor(Bam(str(p)), 0.8, 40, 350, prefilter=True)
+    rows_on = ne_on._next_fused()[0]
+    ne_off = NativeExtractor(Bam(str(p)), 0.8, 40, 350, prefilter=False)
+    rows_off = ne_off._next_fused()[0]
+    assert rows_on < rows_off // 2, (rows_on, rows_off)
