@@ -226,6 +226,9 @@ def call_main(argv):
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--debug", action="store_true",
                    help="also write -reads.txt/-spanning.txt evidence files")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard per-locus genotyping over jax.distributed "
+                        "processes; process 0 writes byte-identical outputs")
     p.add_argument("bam")
     p.add_argument("bin")
     a = p.parse_args(argv)
@@ -236,6 +239,14 @@ def call_main(argv):
 
 
 def _run_call_cli(a):
+    if getattr(a, "distributed", False):
+        from strling_tpu.parallel.call_dist import run_call_dist
+
+        run_call_dist(a.bam, a.bin, a.fasta or None, a.min_support,
+                      a.min_clip, a.min_clip_total, a.min_mapq,
+                      a.loci or None, a.bounds or None, a.output_prefix,
+                      a.verbose)
+        return
     run_call(a.bam, a.bin, a.fasta or None, a.min_support, a.min_clip,
              a.min_clip_total, a.min_mapq, a.loci or None, a.bounds or None,
              a.output_prefix, a.verbose, a.debug)

@@ -211,6 +211,46 @@ struct Engine {
     return max_dimer_count(s, len) <= (int)(int64_t)((double)len * prop / 6.0);
   }
 
+  // Same bound straight off the packed 4-bit BAM sequence, so filtered
+  // reads (the vast majority) never pay the nibble->ASCII decode. Per-byte
+  // LUTs give the two base codes and the intra-byte dimer; codes are
+  // (SEQ_NT16[nib]>>1)&3, the exact aliasing the ASCII path uses.
+  struct NibLut {
+    uint8_t hi[256], lo[256], in[256];
+    NibLut() {
+      for (int b = 0; b < 256; b++) {
+        int h = (sio::SEQ_NT16[b >> 4] >> 1) & 3;
+        int l = (sio::SEQ_NT16[b & 15] >> 1) & 3;
+        hi[b] = (uint8_t)h;
+        lo[b] = (uint8_t)l;
+        in[b] = (uint8_t)((h << 2) | l);
+      }
+    }
+  };
+
+  static int max_dimer_count_nib(const uint8_t* seq4, int len) {
+    static const NibLut T;
+    int cnt[16] = {0};
+    int prev = -1;
+    const int n_bytes = (len + 1) / 2;
+    for (int b = 0; b < n_bytes; b++) {
+      uint8_t by = seq4[b];
+      if (prev >= 0) cnt[(prev << 2) | T.hi[by]]++;
+      if (2 * b + 1 < len) {
+        cnt[T.in[by]]++;
+        prev = T.lo[by];
+      }
+    }
+    int mx = 0;
+    for (int v : cnt) mx = std::max(mx, v);
+    return mx;
+  }
+
+  bool provably_zero_nib(const uint8_t* seq4, int len, double prop) const {
+    return max_dimer_count_nib(seq4, len) <=
+           (int)(int64_t)((double)len * prop / 6.0);
+  }
+
   void decode_seq(const BamRec& r, std::string* seq) const {
     int L = std::min<int32_t>(r.l_seq, Lmax);
     seq->resize(L);
@@ -314,12 +354,12 @@ struct Engine {
       int L = std::min<int32_t>(p.read_len, Lmax);
       bool decoded = false;
       if (!p.fast) {
-        decode_seq(r, &seq);
-        decoded = true;
-        if (prefilter &&
-            provably_zero((const uint8_t*)seq.data(), L, proportion_repeat)) {
+        if (prefilter && provably_zero_nib(r.seq4.data(), L,
+                                           proportion_repeat)) {
           p.scan_row = -2;  // kernel result is provably zero; no device row
         } else {
+          decode_seq(r, &seq);
+          decoded = true;
           p.scan_row = rows;
           memcpy(bases + rows * Lmax, seq.data(), L);
           memset(bases + rows * Lmax + L, 0, Lmax - L);
@@ -477,7 +517,8 @@ struct Engine {
       tr.flag = p.flag;
       tr.split = SOFT_NONE;
       tr.mapq = p.mapq;
-      tr.qname = p.qname;
+      // qname is moved in (not copied) below, after add_soft's last use of
+      // p.qname; cached treads keep it in the table key instead
       if (p.fast) {
         tr.repeat_count = 0;
         tr.align_length = (uint8_t)p.m_len;
@@ -514,13 +555,16 @@ struct Engine {
           if (sharded && p.mate_tid >= 0 &&
               (p.mate_tid >= (int32_t)owned.size() || !owned[p.mate_tid])) {
             add_soft(p, /*first=*/false, tr.repeat);
+            tr.qname = std::move(p.qname);
             spill.push_back(std::move(tr));
           }
           continue;
         }
-        Tread mate = std::move(it->second);
-        tbl.erase(it);
+        auto nh = tbl.extract(it);
+        Tread mate = std::move(nh.mapped());
+        mate.qname = std::move(nh.key());
         add_soft(p, /*first=*/false, tr.repeat);
+        tr.qname = std::move(p.qname);
         if (mate.repeat_count == 0 && tr.repeat_count == 0) continue;
         if (unplaced_pair(tr, mate)) {
           if (tr.repeat[0] == 0 || mate.repeat[0] == 0) continue;
@@ -543,15 +587,18 @@ struct Engine {
             (p.mate_tid >= (int32_t)owned.size() || !owned[p.mate_tid])) {
           // mate is in another shard: it can never arrive in this stream —
           // spill for the cross-shard pairing pass instead of caching
+          tr.qname = std::move(p.qname);
           spill.push_back(std::move(tr));
           continue;
         }
-        auto ins = tbl.emplace(p.qname, tr);
+        // the table key carries the qname; the cached Tread's own qname
+        // stays empty until extraction moves the key back in
+        auto ins = tbl.emplace(std::move(p.qname), std::move(tr));
         if (!ins.second) {
           fprintf(stderr,
                   "[strling] warning. bad read (this happens with bwa-kit "
                   "alignments):%s already in table\n",
-                  p.qname.c_str());
+                  ins.first->first.c_str());
           tbl.erase(ins.first);
         }
       }
@@ -800,6 +847,7 @@ int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
   auto* h = (sio::Handle*)bam_handle;
   Reader* rd = h->rd;
   rd->begin(0, -1, 0, 0);
+  rd->set_light(true);  // only flag/isize/l_seq are read below
   memset(hist, 0, 4096 * sizeof(uint32_t));
   *max_read_len = 0;
   std::vector<int32_t> skipped;
@@ -824,6 +872,7 @@ int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
     counted++;
     if (counted > n_reads) break;
   }
+  rd->set_light(false);
   uint64_t total = 0;
   for (int j = 0; j < 4096; j++) total += hist[j];
   if (total == 0) {

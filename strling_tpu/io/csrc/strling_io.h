@@ -514,6 +514,11 @@ struct BamFile {
   }
 
   std::vector<uint8_t> recbuf;  // per-record scratch (reused across calls)
+  // light parse: fixed 32-byte header only (tid/pos/flag/mapq/l_seq/mate/
+  // isize); qname/cigar/seq are left empty. Used by the frag-hist pre-pass
+  // (utils.nim:86-111 needs only flag+isize+l_seq) — sequential mode only,
+  // since region iteration needs endpos (cigar).
+  bool light = false;
 
   // read one record; returns 1 ok, 0 eof, -1 error
   int next(BamRec* r) {
@@ -540,6 +545,12 @@ struct BamFile {
     memcpy(&r->mate_tid, p + 20, 4);
     memcpy(&r->mate_pos, p + 24, 4);
     memcpy(&r->isize, p + 28, 4);
+    if (light) {
+      r->qname.clear();
+      r->cigar.clear();
+      r->seq4.clear();
+      return 1;
+    }
     const uint8_t* q = p + 32;
     r->qname.assign((const char*)q, l_read_name ? l_read_name - 1 : 0);
     q += l_read_name;
@@ -680,6 +691,8 @@ struct Reader {
   // mode 0 = whole file, 1 = region [beg,end) on tid, 2 = no-coor ("*")
   virtual bool begin(int mode, int tid, int64_t beg, int64_t end) = 0;
   virtual int next(BamRec* r) = 0;  // 1 ok, 0 end, -1 error
+  // fixed-header-only parsing for sequential stat passes (no-op by default)
+  virtual void set_light(bool) {}
 };
 
 struct BamReader : Reader {
@@ -708,6 +721,7 @@ struct BamReader : Reader {
     if (rc < 0) err = it.err.empty() ? bam.err : it.err;
     return rc;
   }
+  void set_light(bool v) override { bam.light = v; }
 };
 
 // implemented in cram.cc / samtext.cc

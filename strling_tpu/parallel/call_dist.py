@@ -75,19 +75,38 @@ def _oe_rank_fn(mesh: Mesh, n_max: int):
     )
 
 
-def rank_oes_on_mesh(oes_by_shard: list[np.ndarray], mesh: Mesh) -> list[np.ndarray]:
-    """Global O/E percentiles for ragged per-shard ratio lists, via the mesh
-    collective. Returns per-shard percentile arrays (same lengths)."""
-    S = int(np.prod(mesh.devices.shape))
-    assert len(oes_by_shard) == S
-    n_max = max(1, max(len(o) for o in oes_by_shard))
-    buf = np.full((S, n_max), np.inf, np.float32)
-    cnt = np.zeros((S, 1), np.int32)
-    for s, o in enumerate(oes_by_shard):
+def rank_oes_on_mesh(oes_by_local_dev: list[np.ndarray], mesh: Mesh) -> list[np.ndarray]:
+    """Global O/E percentiles for ragged per-LOCAL-device ratio lists, via
+    the mesh collective. Each process passes one list per local device;
+    returns matching per-local-device percentile arrays. n_max (the padded
+    row width) is agreed across processes so every shard_map participant
+    traces the same shapes."""
+    pid = jax.process_index()
+    mesh_devs = list(mesh.devices.flat)
+    local_rows = [i for i, d in enumerate(mesh_devs)
+                  if d.process_index == pid]
+    n_local = len(oes_by_local_dev)
+    assert n_local == len(local_rows), (n_local, len(local_rows))
+    local_max = max(1, max((len(o) for o in oes_by_local_dev), default=1))
+    if jax.process_count() > 1:
+        n_max = int(multihost_utils.process_allgather(
+            np.array([local_max])).max())
+    else:
+        n_max = local_max
+    buf = np.full((n_local, n_max), np.inf, np.float32)
+    cnt = np.zeros((n_local, 1), np.int32)
+    for s, o in enumerate(oes_by_local_dev):
         buf[s, : len(o)] = o
         cnt[s, 0] = len(o)
-    pct = np.asarray(_oe_rank_fn(mesh, n_max)(buf, cnt))
-    return [pct[s, : len(o)] for s, o in enumerate(oes_by_shard)]
+    buf_g = multihost_utils.host_local_array_to_global_array(buf, mesh, P("d"))
+    cnt_g = multihost_utils.host_local_array_to_global_array(cnt, mesh, P("d"))
+    pct_g = _oe_rank_fn(mesh, n_max)(buf_g, cnt_g)
+    # reassemble this process's local rows (mesh order)
+    rows = {}
+    for shard in pct_g.addressable_shards:
+        rows[(shard.index[0].start or 0)] = np.asarray(shard.data)[0]
+    return [rows[local_rows[s]][: len(o)]
+            for s, o in enumerate(oes_by_local_dev)]
 
 
 def _gather_blobs(blob: bytes, nproc: int) -> list[bytes]:
@@ -117,7 +136,6 @@ def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,
     pid = jax.process_index()
     nproc = jax.process_count()
     mesh = Mesh(np.array(jax.devices()), ("d",))
-    S = len(jax.devices())
     n_local = len(jax.local_devices())
 
     if loci and not os.path.exists(loci):
@@ -224,20 +242,17 @@ def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,
     # --- barrier 1: global O/E percentile on the mesh (call.nim:264) --------
     # split this process's calls round-robin over its local device slots so
     # the collective really spans the mesh
-    slot_of = {}
-    slots: list[list] = [[] for _ in range(S)]
+    slots: list[list] = [[] for _ in range(n_local)]
     for j, item in enumerate(my_calls):
-        s = pid * n_local + (j % n_local)
-        slot_of[item[0]] = (s, len(slots[s]))
-        slots[s].append(item)
-    oes_by_shard = [
+        slots[j % n_local].append(item)
+    oes_by_dev = [
         np.array([oe_ratio(it[1]) for it in sl], np.float32) for sl in slots
     ]
-    pct_by_shard = rank_oes_on_mesh(oes_by_shard, mesh)
+    pct_by_dev = rank_oes_on_mesh(oes_by_dev, mesh)
     for s, sl in enumerate(slots):
         for r, it in enumerate(sl):
             it[1].spanning_fragments_oe_percentile = np.float32(
-                pct_by_shard[s][r])
+                pct_by_dev[s][r])
 
     # --- gather Call records; rebuild the single-process order --------------
     blob = pickle.dumps(my_calls, protocol=pickle.HIGHEST_PROTOCOL)
