@@ -1,17 +1,28 @@
-"""Benchmarks: one JSON line per metric on stdout.
+"""Benchmarks: one JSON line per metric on stdout (flagship metric last).
 
 Metrics (BASELINE.md):
-  extract_kmer_scan_reads_per_sec  - device repeat-scan kernel, reads/s/chip
-  extract_e2e_reads_per_sec        - full native-engine->device->treads stage
+  extract_kmer_scan_reads_per_sec  - PRODUCTION fused kernel path
+                                     (_pallas_fused_jit: one u8 payload in,
+                                     one packed i32 out — exactly what
+                                     extract dispatches), reads/s/chip
   call_loci_per_sec                - loci genotyped per second (call stage)
+  index_windows_per_sec            - genome STR index stage, windows/s
+                                     (genome_strs.nim:61-92 equivalent)
+  extract_host_engine_reads_per_sec- the extract stage run host-only (cpu
+                                     jax, in a subprocess): the rate the
+                                     same code path reaches with no TPU
+                                     tunnel in the loop
+  extract_e2e_reads_per_sec        - full native-engine->device->treads
+                                     stage on the attached TPU
 
 Baseline context: the reference prints reads/s at runtime but publishes no
 number; a single Nim thread on production hardware runs the extract scan at
 roughly 70k reads/s (8GB/4h slurm budget for a ~1e9-read 30x WGS BAM,
-pipelines/bpipe.config:13-15). vs_baseline uses that 70k estimate for both
-extract metrics. For call, the reference genotypes a few loci/s (per-locus
-random-access BAM window queries, collect.nim:130-182); vs_baseline uses a
-10 loci/s estimate.
+pipelines/bpipe.config:13-15). vs_baseline uses that 70k estimate for the
+extract metrics and for index windows (the reference scans index windows
+through the same get_repeat hot loop, genome_strs.nim:74). For call, the
+reference genotypes a few loci/s (per-locus random-access BAM window
+queries, collect.nim:130-182); vs_baseline uses a 10 loci/s estimate.
 
 `--smoke` runs tiny sizes on whatever backend is active (used by
 scripts/check.sh as a does-it-run gate, not a measurement).
@@ -19,6 +30,7 @@ scripts/check.sh as a does-it-run gate, not a measurement).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -36,11 +48,7 @@ def emit(metric, value, unit, vs):
     }), flush=True)
 
 
-def bench_kernel(smoke: bool):
-    import jax
-    from strling_tpu.ops.kmer import _host_thresholds, get_repeat_device
-
-    B, L = (4096, 152) if smoke else (32768, 152)
+def _kernel_batch(B: int, L: int):
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"ACGT", np.uint8)
     bases_np = alphabet[rng.integers(0, 4, (B, L))]
@@ -50,29 +58,40 @@ def bench_kernel(smoke: bool):
         u = units[i % len(units)]
         bases_np[i] = np.frombuffer((u * (L // len(u) + 1))[:L], np.uint8)
     lengths_np = np.full(B, L, np.int32)
-    te, tp = _host_thresholds(lengths_np, np.full(B, 0.8))
+    return bases_np, lengths_np
 
+
+def bench_kernel(smoke: bool):
+    """Times the PRODUCTION dispatch: the fused single-transfer jit
+    (payload u8 in, packed i32 out) that extract actually runs
+    (ops/kmer.py scan_payload -> kmer_pallas._pallas_fused_jit)."""
+    import jax
+    from strling_tpu.ops.kmer import _fused_xla_jit, fuse_payload
+
+    B, L = (4096, 152) if smoke else (32768, 152)
+    bases_np, lengths_np = _kernel_batch(B, L)
+    payload, layout = fuse_payload(bases_np, lengths_np, np.full(B, 0.8),
+                                   return_layout=True)
     dev = jax.devices()[0]
-    args = [jax.device_put(x, dev) for x in (bases_np, lengths_np, te, tp)]
+    arr = jax.device_put(payload, dev)
 
     if jax.default_backend() == "cpu":
-        fn = jax.jit(get_repeat_device)
+        fn = _fused_xla_jit
     else:
-        from strling_tpu.ops.kmer_pallas import get_repeat_device_pallas
+        from strling_tpu.ops.kmer_pallas import _pallas_fused_jit
 
-        fn = jax.jit(get_repeat_device_pallas)
+        fn = _pallas_fused_jit
     # warmup/compile. NOTE: on the tunneled axon platform block_until_ready
     # does not actually wait, so all timing syncs go through a host fetch,
     # and each fetch costs a fixed ~30ms tunnel round trip. Per-batch device
     # time is therefore measured as the slope between a short and a long
     # pipelined dispatch chain (the fixed latency cancels).
-    out = fn(*args)
-    np.asarray(out[2])
+    np.asarray(fn(arr, layout))
 
     def run(iters: int) -> float:
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        np.asarray(outs[-1][2])
+        outs = [fn(arr, layout) for _ in range(iters)]
+        np.asarray(outs[-1])
         return time.perf_counter() - t0
 
     run(2)  # warm
@@ -84,7 +103,7 @@ def bench_kernel(smoke: bool):
     rps = B / per_batch
     emit("extract_kmer_scan_reads_per_sec", rps, "reads/s/chip",
          rps / NIM_BASELINE_READS_PER_SEC)
-    print(f"# kernel device={dev.platform} B={B} L={L} "
+    print(f"# kernel(fused {layout}) device={dev.platform} B={B} L={L} "
           f"per_batch={per_batch*1e3:.2f}ms", file=sys.stderr)
 
 
@@ -199,22 +218,111 @@ def bench_call(smoke: bool):
     print(f"# call n_called={n_called} dt={dt:.2f}s", file=sys.stderr)
 
 
+def _bench_fasta(n_mbp: int, seed: int = 11) -> str:
+    """Synthetic chromosome with planted STR regions, cached on disk."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"bench_ref_{n_mbp}mbp.fa")
+    if os.path.exists(path) and os.path.exists(path + ".fai"):
+        return path
+    rng = np.random.default_rng(seed)
+    G = n_mbp * 1_000_000
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    seq = alphabet[rng.integers(0, 4, G)]
+    units = [b"CAG", b"AT", b"AAGGG", b"A", b"ATTCT", b"CCG"]
+    n_loci = max(20, G // 50_000)
+    for i, p in enumerate(np.linspace(5_000, G - 5_000, n_loci).astype(np.int64)):
+        u = units[i % len(units)]
+        rep = np.frombuffer((u * (300 // len(u) + 1))[:250], np.uint8)
+        seq[p : p + len(rep)] = rep
+    from strling_tpu.io.fasta import write_fasta
+
+    write_fasta(path, {"chrI": seq.tobytes().decode()})
+    return path
+
+
+def bench_index(smoke: bool):
+    """Genome STR index stage (genome_strs.nim:61-92 equivalent): windows
+    prefiltered on host (native dimer bound), candidates scanned on device,
+    merged/trimmed regions written."""
+    import tempfile
+
+    from strling_tpu.core.genome_index import genome_repeats
+    from strling_tpu.utils.options import Options
+
+    n_mbp = 2 if smoke else 100
+    fasta = _bench_fasta(n_mbp)
+    opts = Options()
+    n_windows = (n_mbp * 1_000_000 + 59) // 60
+    with tempfile.TemporaryDirectory() as d:
+        bed = os.path.join(d, "ref.str.bed")
+        t0 = time.perf_counter()
+        gi = genome_repeats(fasta, opts, bed)
+        dt = time.perf_counter() - t0
+        n_regions = sum(len(v[0]) for v in gi.by_chrom.values())
+    wps = n_windows / dt
+    emit("index_windows_per_sec", wps, "windows/s",
+         wps / NIM_BASELINE_READS_PER_SEC)
+    print(f"# index {n_mbp}Mbp n_windows={n_windows} regions={n_regions} "
+          f"dt={dt:.2f}s", file=sys.stderr)
+
+
+def bench_host_engine(smoke: bool):
+    """The extract stage with the TPU tunnel taken out of the loop: same
+    native engine + scan code path, cpu jax, in a subprocess (the platform
+    pin must be flipped before first device use)."""
+    if "--host-engine-child" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from strling_tpu.core.extract import extract_native
+        from strling_tpu.io.bam import Bam
+
+        n_pairs = 5_000 if smoke else 250_000
+        path = _bench_bam(n_pairs)
+        best = 0.0
+        for _ in range(1 if smoke else 3):
+            bam = Bam(path)
+            t0 = time.perf_counter()
+            tb, frag, opts = extract_native(bam, None, None)
+            dt = time.perf_counter() - t0
+            best = max(best, 2 * n_pairs / dt)
+        emit("extract_host_engine_reads_per_sec", best, "reads/s",
+             best / NIM_BASELINE_READS_PER_SEC)
+        return
+    cmd = [sys.executable, os.path.abspath(__file__), "--host-engine-child"]
+    if smoke:
+        cmd.append("--smoke")
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            print(line, flush=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"host-engine child failed: {r.stderr[-500:]}")
+
+
 def main():
     smoke = "--smoke" in sys.argv
     import jax
 
-    if smoke and "--tpu" not in sys.argv:
+    if (smoke and "--tpu" not in sys.argv) or "--host-engine-child" in sys.argv:
         # deterministic, tunnel-free gate run (sitecustomize pins the axon
         # platform, so the flip must happen in-process)
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    if "--host-engine-child" in sys.argv:
+        bench_host_engine(smoke)
+        return
+
     bench_kernel(smoke)
-    for fn in (bench_extract_e2e, bench_call):
+    # flagship (extract e2e) runs last so the driver-parsed line is the lead
+    # metric; secondary metrics must not mask it
+    for fn in (bench_call, bench_index, bench_host_engine, bench_extract_e2e):
         try:
             fn(smoke)
-        except Exception as e:  # secondary metrics must not mask the primary
+        except Exception as e:
             print(f"# {fn.__name__} failed: {e!r}", file=sys.stderr)
             if smoke:
                 raise

@@ -87,6 +87,36 @@ def _provably_zero_rows(bases: np.ndarray, lens: np.ndarray,
     return counts.max(axis=1) <= tp6
 
 
+def _chrom_zero_mask(chrom_bytes: np.ndarray, window: int, step: int,
+                     prop: float) -> np.ndarray:
+    """Per-window provably-zero mask for a whole chromosome via the native
+    single-pass prefilter (several M windows/s; falls back to the numpy
+    bound if the library is unavailable)."""
+    try:
+        import ctypes as C
+
+        from strling_tpu.io.bam import _load
+
+        lib = _load()
+        if not hasattr(lib.sio_genome_prefilter, "_bound"):
+            P = np.ctypeslib.ndpointer
+            lib.sio_genome_prefilter.restype = C.c_int64
+            lib.sio_genome_prefilter.argtypes = [
+                P(np.uint8), C.c_int64, C.c_int64, C.c_int64, C.c_double,
+                P(np.uint8),
+            ]
+            lib.sio_genome_prefilter._bound = True
+        L = len(chrom_bytes)
+        n_windows = (L + step - 1) // step if L else 0
+        mask = np.empty(max(1, n_windows), np.uint8)
+        lib.sio_genome_prefilter(
+            np.ascontiguousarray(chrom_bytes), L, window, step, prop, mask
+        )
+        return mask[:n_windows].astype(bool)
+    except Exception:
+        return None
+
+
 def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
                    step: int = STEP, batch_windows: int = 32768):
     """Yield merged, trimmed STR windows over every chromosome
@@ -112,6 +142,8 @@ def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
         sv = np.lib.stride_tricks.sliding_window_view(cbp, window_size)[::step]
         sv = sv[: len(starts)]
         lens_all = np.minimum(L - np.arange(0, L, step, dtype=np.int64), window_size)
+        zero_all = _chrom_zero_mask(cb, window_size, step,
+                                    opts.proportion_repeat)
         units_all: list[str] = []
         counts_all: list[int] = []
         for b0 in range(0, len(starts), batch_windows):
@@ -124,7 +156,11 @@ def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
             if bases.shape[1] % 8:
                 padc = 8 - bases.shape[1] % 8
                 bases = np.pad(bases, ((0, 0), (0, padc)))
-            zero = _provably_zero_rows(bases, lens, opts.proportion_repeat)
+            if zero_all is not None:
+                zero = zero_all[b0 : b0 + len(bases)]
+            else:
+                zero = _provably_zero_rows(bases, lens,
+                                           opts.proportion_repeat)
             cand = np.flatnonzero(~zero)
             count = np.zeros(len(lens), np.int64)
             units = [""] * len(lens)

@@ -840,6 +840,28 @@ int64_t sio_ex_get_treads(void* ve, int32_t* tid, uint32_t* position,
 
 const char* sio_ex_error(void* ve) { return ((Engine*)ve)->err.c_str(); }
 
+// Genome-index window prefilter (core/genome_index.py): for each window of
+// `window` bases at stride `step` over an ASCII chromosome, set mask=1 when
+// the dimer-count bound proves the repeat kernel would return count==0
+// (same bound as Engine::provably_zero; genome_strs.nim:61-92 scans these
+// windows through the same detector as reads). Runs at several million
+// windows/s on one core, so a human genome's 53M windows prefilter in
+// seconds and only the repeat-bearing windows travel to the device.
+int64_t sio_genome_prefilter(const uint8_t* seq, int64_t L, int64_t window,
+                             int64_t step, double prop, uint8_t* zero_mask) {
+  int64_t n_windows = L > 0 ? (L + step - 1) / step : 0;
+  for (int64_t w = 0; w < n_windows; w++) {
+    int64_t s = w * step;
+    int64_t len = std::min(window, L - s);
+    zero_mask[w] =
+        Engine::max_dimer_count(seq + s, (int)len) <=
+                (int)(int64_t)((double)len * prop / 6.0)
+            ? 1
+            : 0;
+  }
+  return n_windows;
+}
+
 // Native fragment-length histogram pre-pass (utils.nim:86-111).
 // Also reports the max read length seen (for adaptive transfer width).
 int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
