@@ -218,6 +218,30 @@ def bench_call(smoke: bool):
     print(f"# call n_called={n_called} dt={dt:.2f}s", file=sys.stderr)
 
 
+def bench_outliers(smoke: bool):
+    """Cohort outlier estimation: per-locus Huber proposal-2 location/scale
+    over a [loci x samples] matrix (strling-outliers.py:115-136,300-314 runs
+    this as a per-locus statsmodels loop — the reference's cohort-scale hot
+    spot; baseline estimate ~1k loci/s for that loop)."""
+    L, S = (500, 20) if smoke else (20_000, 100)
+    rng = np.random.default_rng(3)
+    X = rng.normal(-3.0, 0.7, (L, S))
+    X[rng.random((L, S)) < 0.02] = np.nan       # missing calls
+    X[: L // 20] = X[: L // 20, :1]             # constant rows -> MAD path
+    out_idx = rng.integers(0, L, L // 10)
+    X[out_idx, 0] += rng.uniform(3, 10, len(out_idx))  # expansions
+    from strling_tpu.core.outliers import hubers_est_batch
+
+    hubers_est_batch(X[: min(L, 256)])  # warm numpy
+    t0 = time.perf_counter()
+    mu, sd, method = hubers_est_batch(X)
+    dt = time.perf_counter() - t0
+    lps = L / dt
+    emit("outliers_loci_per_sec", lps, "loci/s", lps / 1000.0)
+    print(f"# outliers L={L} S={S} dt={dt*1e3:.0f}ms huber="
+          f"{int((method == 'Huber').sum())}", file=sys.stderr)
+
+
 def _bench_fasta(n_mbp: int, seed: int = 11) -> str:
     """Synthetic chromosome with planted STR regions, cached on disk."""
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -319,7 +343,8 @@ def main():
     bench_kernel(smoke)
     # flagship (extract e2e) runs last so the driver-parsed line is the lead
     # metric; secondary metrics must not mask it
-    for fn in (bench_call, bench_index, bench_host_engine, bench_extract_e2e):
+    for fn in (bench_call, bench_outliers, bench_index, bench_host_engine,
+               bench_extract_e2e):
         try:
             fn(smoke)
         except Exception as e:

@@ -397,30 +397,36 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     Same results as `extract` (equivalence-tested); ~2 orders of magnitude
     faster host side. devices="all" round-robins batches over every local
     chip (byte-identical output — feeds stay FIFO)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from strling_tpu.core.genome_index import genome_repeats as build_gi
-    from strling_tpu.io.extract_native import NativeExtractor, native_frag_hist
+    from strling_tpu.io.bam import Bam
+    from strling_tpu.io.extract_native import (
+        NativeExtractor,
+        native_frag_hist,
+        peek_max_len,
+    )
     from strling_tpu.utils import fraglen
 
-    frag_dist, max_read_len = native_frag_hist(bam, return_max_len=True)
-    frag_median = fraglen.median(frag_dist)
-    if verbose:
-        print(f"Calculated median fragment length:{frag_median}", file=sys.stderr)
+    # The fragment-length pre-pass (utils.nim:86-111) only feeds adjust_by's
+    # median, so it runs CONCURRENTLY with the engine's producer on a second
+    # file handle; the median lands just before the first feed. The wire
+    # width (Lmax) is probed from the first 10k records — if a later read
+    # turns out longer (it would have been truncated on the wire), the run
+    # redoes extraction with the exact width from the completed histogram.
+    peek_len = peek_max_len(bam)
+    hist_bam = Bam(bam.path, fasta=getattr(bam, "fasta", None))
+    pool = ThreadPoolExecutor(max_workers=1)
+    hist_fut = pool.submit(native_frag_hist, hist_bam, return_max_len=True)
+
     opts = Options(
-        median_fragment_length=frag_median,
+        median_fragment_length=0,
         proportion_repeat=proportion_repeat,
         min_mapq=min_mapq,
     )
     if genome_index is None and fasta:
         genome_index = build_gi(fasta, opts, genome_repeats_path or "")
 
-    # transfer width adapted to the data (150bp reads move 160-byte rows)
-    Lcap = max(32, ((max_read_len + 7) // 8) * 8) if max_read_len else None
-    ne = NativeExtractor(
-        bam, proportion_repeat, min_mapq, frag_median,
-        genome_index=genome_index, Lmax=Lcap,
-    )
-    print("[strling] collecting str-like reads", file=sys.stderr)
-    t0 = time.time()
     devs = None
     if devices == "all":
         import jax
@@ -430,7 +436,38 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
         import jax
 
         devs = jax.local_devices()[: int(devices)]
-    tb = ne.run(backend=backend, devices=devs)
+
+    def run_once(Lcap):
+        ne = NativeExtractor(
+            bam, proportion_repeat, min_mapq, 0,
+            genome_index=genome_index, Lmax=Lcap,
+        )
+
+        def set_median():
+            frag_dist, _ = hist_fut.result()
+            median = fraglen.median(frag_dist)
+            ne.set_median(median)
+            opts.median_fragment_length = median
+            if verbose:
+                print(f"Calculated median fragment length:{median}",
+                      file=sys.stderr)
+
+        tb = ne.run(backend=backend, devices=devs, pre_feed_hook=set_median)
+        return ne, tb
+
+    print("[strling] collecting str-like reads", file=sys.stderr)
+    t0 = time.time()
+    Lcap = max(32, ((peek_len + 7) // 8) * 8) if peek_len else None
+    ne, tb = run_once(Lcap)
+    frag_dist, max_read_len = hist_fut.result()
+    pool.shutdown()
+    if max(ne.max_len_seen, max_read_len) > (Lcap or 256):
+        # a read longer than the peeked width appeared: redo with the exact
+        # width so nothing is truncated on the wire
+        bam2 = Bam(bam.path, fasta=getattr(bam, "fasta", None))
+        Lcap = max(32, ((max(ne.max_len_seen, max_read_len) + 7) // 8) * 8)
+        ne, tb = run_once_exact(bam2, Lcap, proportion_repeat, min_mapq,
+                                frag_dist, genome_index, backend, devs, opts)
     if verbose:
         dt = max(1e-9, time.time() - t0)
         print(
@@ -438,3 +475,19 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
             file=sys.stderr,
         )
     return tb, frag_dist, opts
+
+
+def run_once_exact(bam, Lcap, proportion_repeat, min_mapq, frag_dist,
+                   genome_index, backend, devs, opts):
+    """Exact-width re-run for the rare mixed-read-length case."""
+    from strling_tpu.io.extract_native import NativeExtractor
+    from strling_tpu.utils import fraglen
+
+    median = fraglen.median(frag_dist)
+    opts.median_fragment_length = median
+    ne = NativeExtractor(
+        bam, proportion_repeat, min_mapq, median,
+        genome_index=genome_index, Lmax=Lcap,
+    )
+    tb = ne.run(backend=backend, devices=devs)
+    return ne, tb

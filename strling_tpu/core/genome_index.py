@@ -133,66 +133,63 @@ def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
                 file=sys.stderr,
             )
         chrom_seq = fai.get(chrom).upper()
-        starts = list(range(0, L, step))
+        starts_np = np.arange(0, L, step, dtype=np.int64)
         # pack all windows via a strided view over the chromosome bytes —
         # no per-window Python work (53M windows for a human genome)
         cb = np.frombuffer(chrom_seq.encode(), np.uint8)
         pad = np.zeros(window_size, np.uint8)
         cbp = np.concatenate([cb, pad])
         sv = np.lib.stride_tricks.sliding_window_view(cbp, window_size)[::step]
-        sv = sv[: len(starts)]
-        lens_all = np.minimum(L - np.arange(0, L, step, dtype=np.int64), window_size)
+        sv = sv[: len(starts_np)]
+        lens_all = np.minimum(L - starts_np, window_size)
         zero_all = _chrom_zero_mask(cb, window_size, step,
                                     opts.proportion_repeat)
-        units_all: list[str] = []
-        counts_all: list[int] = []
-        for b0 in range(0, len(starts), batch_windows):
-            bases = np.ascontiguousarray(sv[b0 : b0 + batch_windows])
-            lens = lens_all[b0 : b0 + batch_windows].astype(np.int32)
-            # zero the padding tail of short windows (strided view may carry
-            # neighbouring chrom bytes only for the final windows, which the
-            # pad suffix already zeroes). Windows are width 100 (not /8);
-            # pad columns to a multiple of 8 for the fused 2-bit path.
+        if zero_all is None:
+            parts = []
+            for b0 in range(0, len(starts_np), batch_windows):
+                parts.append(_provably_zero_rows(
+                    np.ascontiguousarray(sv[b0:b0 + batch_windows]),
+                    lens_all[b0:b0 + batch_windows],
+                    opts.proportion_repeat))
+            zero_all = np.concatenate(parts) if parts else np.zeros(0, bool)
+        # only candidate windows (a tiny fraction of a real genome) are
+        # gathered and scanned — in batches, but typically one device call
+        cand_all = np.flatnonzero(~zero_all)
+        cand_units: list[str] = []
+        cand_counts = np.zeros(len(cand_all), np.int64)
+        for b0 in range(0, len(cand_all), batch_windows):
+            cidx = cand_all[b0 : b0 + batch_windows]
+            bases = np.ascontiguousarray(sv[cidx])
+            lens = lens_all[cidx].astype(np.int32)
             if bases.shape[1] % 8:
                 padc = 8 - bases.shape[1] % 8
                 bases = np.pad(bases, ((0, 0), (0, padc)))
-            if zero_all is not None:
-                zero = zero_all[b0 : b0 + len(bases)]
-            else:
-                zero = _provably_zero_rows(bases, lens,
-                                           opts.proportion_repeat)
-            cand = np.flatnonzero(~zero)
-            count = np.zeros(len(lens), np.int64)
-            units = [""] * len(lens)
-            if len(cand):
-                code_c, ulen_c, count_c = scan_codes(
-                    np.ascontiguousarray(bases[cand]), lens[cand],
-                    np.full(len(cand), opts.proportion_repeat),
-                )
-                count[cand] = count_c
-                for i, u in zip(cand, unpack_unit_codes(code_c, ulen_c)):
-                    units[i] = u
-            units_all.extend(units)
-            counts_all.extend(count.tolist())
+            code_c, ulen_c, count_c = scan_codes(
+                bases, lens, np.full(len(lens), opts.proportion_repeat),
+            )
+            cand_counts[b0 : b0 + len(cidx)] = count_c
+            cand_units.extend(unpack_unit_codes(code_c, ulen_c))
 
         last_w = Window(stop=-1)
-        for s, rep, cnt in zip(starts, units_all, counts_all):
-            if cnt > 0:
-                stop = min(L, s + window_size)
-                w = Window(chrom=chrom, start=s, stop=stop, repeat=rep)
-                # merge consecutive same-unit windows; allow skipping 1 window
-                if last_w.repeat != w.repeat or w.start > last_w.stop + (
+        hits = cand_counts > 0
+        for ci in np.flatnonzero(hits):
+            s = int(starts_np[cand_all[ci]])
+            rep = cand_units[ci]
+            stop = min(L, s + window_size)
+            w = Window(chrom=chrom, start=s, stop=stop, repeat=rep)
+            # merge consecutive same-unit windows; allow skipping 1 window
+            if last_w.repeat != w.repeat or w.start > last_w.stop + (
+                window_size - step
+            ):
+                if last_w.stop != -1 and last_w.stop - last_w.start >= (
                     window_size - step
                 ):
-                    if last_w.stop != -1 and last_w.stop - last_w.start >= (
-                        window_size - step
-                    ):
-                        last_w.start = max(0, last_w.start - window_size)
-                        last_w.stop = min(last_w.stop + window_size, len(chrom_seq))
-                        yield trim(last_w, chrom_seq[last_w.start : last_w.stop])
-                    last_w = w
-                else:
-                    last_w.stop = w.stop
+                    last_w.start = max(0, last_w.start - window_size)
+                    last_w.stop = min(last_w.stop + window_size, len(chrom_seq))
+                    yield trim(last_w, chrom_seq[last_w.start : last_w.stop])
+                last_w = w
+            else:
+                last_w.stop = w.stop
         if last_w.stop != -1 and last_w.stop - last_w.start >= (window_size - step):
             last_w.start = max(0, last_w.start - window_size)
             last_w.stop = min(last_w.stop + window_size, len(chrom_seq))

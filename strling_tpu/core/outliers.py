@@ -86,6 +86,148 @@ def hubers_est(x) -> pd.Series:
     return pd.Series({"mu": mu, "sd": s, "method": method})
 
 
+def hubers_est_batch(X: np.ndarray, c: float = 1.5, tol: float = 1e-8,
+                     maxiter: int = 1000):
+    """Batched hubers_est over a [loci, samples] matrix: the native
+    multithreaded implementation when available (io/csrc/huber.cc — sums
+    replicate numpy's scalar pairwise algorithm, so results agree with the
+    numpy fallback below to ~1 ulp; numpy's SIMD sum tree is the only
+    divergence), else the vectorized numpy path."""
+    X = np.ascontiguousarray(np.asarray(X, float))
+    L, S = X.shape
+    try:
+        import ctypes as C
+
+        from strling_tpu.io.bam import _load
+
+        lib = _load()
+        if not hasattr(lib.sio_hubers_batch, "_bound"):
+            P = np.ctypeslib.ndpointer
+            lib.sio_hubers_batch.argtypes = [
+                P(np.float64), C.c_int64, C.c_int64, C.c_double, C.c_double,
+                C.c_int64, C.c_double, P(np.float64), P(np.float64),
+                P(np.uint8),
+            ]
+            lib.sio_hubers_batch._bound = True
+        gamma = _huber.gamma if c == _huber.c else Huber(c=c).gamma
+        mu = np.empty(L)
+        sd = np.empty(L)
+        meth = np.empty(L, np.uint8)
+        lib.sio_hubers_batch(X, L, S, c, tol, maxiter, gamma, mu, sd, meth)
+        return mu, sd, np.where(meth == 1, "Huber", "MAD")
+    except Exception:
+        return _hubers_est_batch_np(X, c, tol, maxiter)
+
+
+def _hubers_est_batch_np(X: np.ndarray, c: float = 1.5, tol: float = 1e-8,
+                         maxiter: int = 1000):
+    """Vectorized hubers_est over a [loci, samples] matrix.
+
+    Row-for-row identical to `hubers_est` applied per row: every iteration
+    evaluates the same formulas over the same values (NaN slots are summed
+    as exact 0.0, so floating-point results match the compacted per-row
+    arrays up to summation order), convergence is tested per row, and every
+    condition that makes the scalar path raise (zero/NaN scale, zero or
+    negative scale denominator, iteration overrun, empty row) routes that
+    row to the same median/MAD fallback. Replaces the reference's per-locus
+    statsmodels loop (strling-outliers.py:115-136, called per locus at
+    :300-314) with one array pass — the cohort-scale hot spot at "thousands
+    of genomes" (docs/source/workflows.rst).
+    Returns (mu, sd, method) arrays; sd==0 is reported as NaN as in the
+    scalar path.
+    """
+    X = np.asarray(X, float)
+    L, S = X.shape
+    finite = np.isfinite(X)
+    n_tot = finite.sum(axis=1).astype(float)
+    X0 = np.where(finite, X, 0.0)
+
+    def row_median(V):
+        # np.median of each row's finite values (mean of the two middle
+        # order statistics — exactly np.median's result on the compacted
+        # row). np.nanmedian hits a slow per-row path when NaNs exist.
+        s = np.sort(np.where(finite, V, np.inf), axis=1)
+        nt = n_tot.astype(np.int64)
+        lo_i = np.maximum(0, (nt - 1) // 2)
+        hi_i = np.maximum(0, nt // 2)
+        r = np.arange(L)
+        with np.errstate(invalid="ignore"):
+            out = 0.5 * (s[r, lo_i] + s[r, hi_i])
+        return np.where(nt > 0, out, np.nan)
+
+    with np.errstate(all="ignore"):
+        med = row_median(X)
+        mad_raw = row_median(np.abs(X - med[:, None])) / MAD_C
+    empty = n_tot == 0
+    med = np.where(empty, np.nan, med)
+    mad_s = np.where(empty, np.nan, mad_raw)
+
+    gamma = _huber.gamma
+    n = n_tot - 1.0
+    mu = med.copy()
+    scale = mad_s.copy()
+    done = np.zeros(L, bool)
+    failed = empty.copy()
+    out_mu = np.full(L, np.nan)
+    out_sd = np.full(L, np.nan)
+
+    # iterate over the COMPACTED active rows only: most rows converge in a
+    # handful of iterations, so without compaction the stragglers force
+    # full-matrix passes (the difference between ~8k and ~100k+ loci/s)
+    idx = np.flatnonzero(~(done | failed))
+    with np.errstate(all="ignore"):
+        for _ in range(maxiter):
+            if len(idx) == 0:
+                break
+            sc = scale[idx]
+            # scalar path raises on (a - mu)/scale with scale == 0 or nan
+            bad = ~np.isfinite(sc) | (sc == 0.0)
+            if bad.any():
+                failed[idx[bad]] = True
+                idx = idx[~bad]
+                if len(idx) == 0:
+                    break
+            Xa = X0[idx]
+            fa = finite[idx]
+            mua = mu[idx]
+            sca = scale[idx]
+            nta = n_tot[idx]
+            na = n[idx]
+            lo = mua - c * sca
+            hi = mua + c * sca
+            clipped = np.clip(Xa, lo[:, None], hi[:, None])
+            clipped = np.where(fa, clipped, 0.0)
+            nmu = clipped.sum(axis=1) / nta
+            subset = fa & (np.abs((Xa - mua[:, None]) / sca[:, None]) <= c)
+            card = subset.sum(axis=1).astype(float)
+            scale_num = np.where(subset, (Xa - nmu[:, None]) ** 2, 0.0).sum(axis=1)
+            scale_denom = na * gamma - (nta - card) * c * c
+            # scalar path raises on denom == 0 (divide) or quotient < 0
+            # (sqrt invalid)
+            ratio = scale_num / scale_denom
+            bad = (scale_denom == 0.0) | (ratio < 0.0) | ~np.isfinite(nmu)
+            nscale = np.sqrt(ratio)
+            conv = ~bad & (np.abs(nmu - mua) <= nscale * tol) & (
+                np.abs(nscale - sca) <= nscale * tol)
+            if bad.any():
+                failed[idx[bad]] = True
+            if conv.any():
+                out_mu[idx[conv]] = nmu[conv]
+                out_sd[idx[conv]] = nscale[conv]
+                done[idx[conv]] = True
+            cont = ~(bad | conv)
+            mu[idx[cont]] = nmu[cont]
+            scale[idx[cont]] = nscale[cont]
+            idx = idx[cont]
+    failed[idx] = True  # iteration overrun -> ValueError -> fallback
+
+    out_mu = np.where(failed, med, out_mu)
+    out_sd = np.where(failed, mad_s, out_sd)
+    out_sd = np.where(out_sd == 0.0, np.nan, out_sd)
+    method = np.where(failed, "MAD", "Huber")
+    return out_mu, out_sd, method
+
+
 def z_score(x: pd.DataFrame, df: pd.DataFrame) -> pd.DataFrame:
     """strling-outliers.py:138-141."""
     mu = df["mu"].to_numpy()[:, np.newaxis]
@@ -250,9 +392,12 @@ def run_outliers(genotype_files: list[str], unplaced_files: list[str],
         # every locus was all-zero/NaN; the reference crashes in pandas here —
         # surface its intended "z score table is empty" error instead
         raise ValueError("z score table is empty")
-    locus_estimates_all = sum_str_log_wide.apply(hubers_est, axis=1)
-    locus_estimates = locus_estimates_all[["mu", "sd"]].astype("float64")
-    locus_methods = locus_estimates_all["method"]
+    bmu, bsd, bmethod = hubers_est_batch(sum_str_log_wide.to_numpy(float))
+    locus_estimates = pd.DataFrame(
+        {"mu": bmu, "sd": bsd}, index=sum_str_log_wide.index
+    ).astype("float64")
+    locus_methods = pd.Series(bmethod, index=sum_str_log_wide.index,
+                              name="method")
 
     pos_sd = locus_estimates["sd"][locus_estimates["sd"] > 0]
     min_sd = np.min(pos_sd) if len(pos_sd) else np.nan

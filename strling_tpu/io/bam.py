@@ -144,6 +144,7 @@ class Bam:
         self._h = self._lib.sio_open(path.encode())
         if not self._h:
             raise OSError(f"couldn't open bam/cram {path}")
+        self.fasta = fasta
         if fasta:
             # required to decode reference-based CRAM; no-op for BAM
             if self._lib.sio_set_fasta(self._h, fasta.encode()) != 0:

@@ -30,7 +30,9 @@ def lib_path() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        *srcs, "-o", out + ".tmp", "-ldeflate", "-lz",
+        *srcs, "-o", out + ".tmp", "-ldeflate", "-lz", "-llzma",
+        # no unversioned libbz2.so symlink in this image; link the SONAME
+        "/lib/x86_64-linux-gnu/libbz2.so.1.0",
     ]
     subprocess.run(cmd, check=True)
     os.replace(out + ".tmp", out)

@@ -974,6 +974,15 @@ def _ext_block(content_id: int, raw: bytes, method: str) -> bytes:
         return _block(6, 4, content_id, raw, arith_encode(raw, order=1))
     if method == "tok3a":  # tok3 with arithmetic token streams
         return _block(8, 4, content_id, raw, tok3_encode(raw, use_arith=True))
+    if method == "bzip2":  # block method 2; stdlib bz2 is the ground truth
+        import bz2 as _bz2
+
+        return _block(2, 4, content_id, raw, _bz2.compress(raw, 9))
+    if method == "lzma":  # block method 3; htslib writes .xz containers
+        import lzma as _lzma
+
+        return _block(3, 4, content_id, raw,
+                      _lzma.compress(raw, format=_lzma.FORMAT_XZ))
     raise ValueError(method)
 
 
@@ -1139,14 +1148,18 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
                records: list[BamRecord], fasta=None, write_index: bool = True,
                slice_size: int = 4096, ap_delta: bool = True,
                embed_ref: bool = False, core_codecs: bool = False,
-               v31: bool = False, v31_arith: bool = False):
+               v31: bool = False, v31_arith: bool = False,
+               bz_lzma: bool = False):
     """Write a CRAM 3.0 (+ .crai). `fasta` is a path, a dict name->seq, or
     None (verbatim base encoding, RR=false). Records should be
     coordinate-sorted for meaningful .crai queries. With `v31`, writes a
     CRAM 3.1 file whose external blocks use the rANSNx16 codec; with
     `v31_arith` additionally, the adaptive arithmetic codec (method 6),
     fqzcomp for stored qualities (method 7) and arithmetic tok3 token
-    streams."""
+    streams. With `bz_lzma`, external blocks use bzip2/lzma block
+    compression (methods 2/3, compressed by the Python stdlib — independent
+    ground truth for the native decoders; htslib accepts such files via
+    --output-fmt-option use_bzip2/use_lzma)."""
     refs: dict[str, str] = {}
     if isinstance(fasta, dict):
         refs = {k: v.upper() for k, v in fasta.items()}
@@ -1184,7 +1197,7 @@ def write_cram(path: str, header_text: str, targets: list[tuple[str, int]],
     for chunk in chunks:
         payload, ref_id, start, span, nbases, landmark, ssize = _container(
             chunk, refs, targets, ref_based, ap_delta, embed_ref, counter,
-            core_codecs, v31, v31_arith)
+            core_codecs, v31, v31_arith, bz_lzma)
         coff = out.tell()
         out.write(payload)
         counter += len(chunk)
@@ -1219,7 +1232,7 @@ def _cont_header(length: int, ref_id: int, start: int, span: int, n_rec: int,
 def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
                ap_delta: bool, embed_ref: bool, counter: int,
                core_codecs: bool = False, v31: bool = False,
-               v31_arith: bool = False):
+               v31_arith: bool = False, bz_lzma: bool = False):
     tids = {r.tid for r in chunk}
     if len(tids) == 1:
         ref_id = chunk[0].tid
@@ -1355,6 +1368,8 @@ def _container(chunk: list[BamRecord], refs, targets, ref_based: bool,
             if v31_arith:  # adaptive coder + fqz quals + arith tok3
                 method = {"nx16_0": "arith0", "nx16_1": "arith1",
                           "tok3": "tok3a"}[method]
+        if bz_lzma:  # methods 2/3: sequence-ish streams lzma, rest bzip2
+            method = "lzma" if key in ("BA", "QS", "RN") else "bzip2"
         if (key == "QS" and v31 and v31_arith and qual_recs
                 and all(qual_recs)):
             raw = bytes(st[key])

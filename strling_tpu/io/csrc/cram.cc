@@ -18,6 +18,8 @@
 
 #include "strling_io.h"
 
+#include <lzma.h>
+
 #include <array>
 #include <climits>
 #include <condition_variable>
@@ -1123,6 +1125,38 @@ static bool tok3_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
 
 // ------------------------------------------------------------------- codecs
 
+// bzip2 (CRAM block method 2). The environment ships libbz2.so.1.0 without
+// its header; the one-shot decompressor has a stable ABI, declared here.
+extern "C" int BZ2_bzBuffToBuffDecompress(char* dest, unsigned int* destLen,
+                                          char* source,
+                                          unsigned int sourceLen, int small,
+                                          int verbosity);
+
+static bool bz2_decode(const uint8_t* in, size_t in_sz, size_t out_sz,
+                       std::vector<uint8_t>* out) {
+  if (out_sz > (1u << 28) || in_sz > (1u << 28)) return false;
+  out->resize(out_sz);
+  unsigned int dlen = (unsigned int)out_sz;
+  int r = BZ2_bzBuffToBuffDecompress(
+      (char*)out->data(), &dlen, (char*)const_cast<uint8_t*>(in),
+      (unsigned int)in_sz, /*small=*/0, /*verbosity=*/0);
+  return r == 0 /*BZ_OK*/ && dlen == out_sz;
+}
+
+// lzma (CRAM block method 3): htslib writes .xz container streams
+// (lzma_easy_buffer_encode); lzma_stream_buffer_decode reads them.
+static bool xz_decode(const uint8_t* in, size_t in_sz, size_t out_sz,
+                      std::vector<uint8_t>* out) {
+  if (out_sz > (1u << 28)) return false;
+  out->resize(out_sz);
+  uint64_t memlimit = UINT64_MAX;
+  size_t in_pos = 0, out_pos = 0;
+  lzma_ret r = lzma_stream_buffer_decode(&memlimit, 0, nullptr, in, &in_pos,
+                                         in_sz, out->data(), &out_pos,
+                                         out_sz);
+  return r == LZMA_OK && out_pos == out_sz;
+}
+
 static bool gunzip(const uint8_t* in, size_t in_sz, size_t out_sz,
                    std::vector<uint8_t>* out) {
   out->resize(out_sz);
@@ -1251,12 +1285,18 @@ static bool read_block(Buf& b, Block* blk, std::string* err,
         return false;
       }
       break;
-    case 2:
-      *err = "CRAM bzip2 blocks not supported";
-      return false;
-    case 3:
-      *err = "CRAM lzma blocks not supported";
-      return false;
+    case 2:  // bzip2
+      if (!bz2_decode(cdata, csize, usize, &blk->data)) {
+        *err = "CRAM bzip2 block decode failed";
+        return false;
+      }
+      break;
+    case 3:  // lzma (.xz container, as htslib writes)
+      if (!xz_decode(cdata, csize, usize, &blk->data)) {
+        *err = "CRAM lzma block decode failed";
+        return false;
+      }
+      break;
     default:
       *err = "CRAM 3.1 codec (method " + std::to_string(blk->method) +
              ") not supported";

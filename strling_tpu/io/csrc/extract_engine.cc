@@ -15,9 +15,14 @@
 
 #include "strling_io.h"
 
+#include <atomic>
 #include <cassert>
 #include <cmath>
+#include <condition_variable>
 #include <deque>
+#include <memory>
+#include <mutex>
+#include <thread>
 #include <unordered_map>
 
 namespace {
@@ -169,6 +174,48 @@ struct Engine {
   int64_t nreads = 0;
   std::string err;
 
+  // --- producer-thread pipelining (sio_ex_next_fused) ---------------------
+  // BGZF decode + record parse + prefilter + wire packing run on a producer
+  // thread while the main thread runs the order-dependent feed state
+  // machine and Python dispatches device work: the two big host costs
+  // overlap instead of serializing. The producer owns the Reader and the
+  // scratch row buffers; the main thread owns tbl/out/results. Handoff is a
+  // small Produced record (packed payload + Pending metadata).
+  struct Produced {
+    std::vector<Pending> pend;
+    std::vector<uint8_t> payload;     // fb != 1: rows * rowW packed bytes
+    std::vector<uint8_t> ascii_bases; // fb == 1 (IUPAC fallback): raw rows
+    std::vector<int32_t> ascii_len;
+    std::vector<double> ascii_prop;
+    int64_t rows = 0, n_records = 0, rowW = 0;
+    int fb = 0;
+  };
+  std::thread producer;
+  std::mutex mu;
+  std::condition_variable cv_space, cv_ready;
+  std::deque<std::unique_ptr<Produced>> ready_q;
+  std::vector<std::unique_ptr<Produced>> pool;
+  bool producer_started = false;
+  bool producer_done = false;
+  bool quitting = false;
+  std::string perr;
+  int64_t prod_max_records = 0, prod_rows_cap = 0;
+  static constexpr size_t MAX_READY = 3;
+
+  ~Engine() { stop_producer(); }
+
+  void stop_producer() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      quitting = true;
+    }
+    cv_space.notify_all();
+    cv_ready.notify_all();
+    if (producer.joinable()) producer.join();
+  }
+
+  std::atomic<int64_t> max_len_seen{0};  // longest l_seq the engine saw
+
   bool gi_overlaps(int tid, int64_t start, int64_t stop) const {
     const auto& s = gi_starts[tid];
     // Lapper.find: iv.start < stop && iv.stop > start
@@ -260,10 +307,12 @@ struct Engine {
     }
   }
 
-  // Buffer up to max_records primary records, packing scan rows.
+  // Buffer up to max_records primary records, packing scan rows into the
+  // caller's buffers and Pending metadata into *out (appended).
   // Returns row count; *n_records set to buffered record count.
   int64_t next(int64_t max_records, int64_t* n_records, uint8_t* bases,
-               int32_t* lengths, double* props, int64_t rows_cap) {
+               int32_t* lengths, double* props, int64_t rows_cap,
+               std::vector<Pending>* out) {
     pending.clear();
     int64_t rows = 0;
     std::string seq;
@@ -320,6 +369,8 @@ struct Engine {
         break;
       }
       if (r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) continue;
+      if (r.l_seq > max_len_seen.load(std::memory_order_relaxed))
+        max_len_seen.store(r.l_seq, std::memory_order_relaxed);
 
       Pending p;
       p.tid = r.tid;
@@ -423,10 +474,202 @@ struct Engine {
     }
     *n_records = (int64_t)pending.size();
     if (!pending.empty()) {
-      queue.push_back(std::move(pending));
+      *out = std::move(pending);
       pending.clear();
     }
     return rows;
+  }
+
+  // One producer step: read a batch, choose the wire layout, pack. Mirrors
+  // the synchronous sio_ex_next_fused contract (fb 0/2 = fused payload at
+  // rowW stride, fb 1 = raw ASCII fallback for IUPAC bytes).
+  bool produce(Produced* p) {
+    const int64_t rows_cap = prod_rows_cap;
+    row_bases.resize((size_t)rows_cap * Lmax);
+    row_len.resize(rows_cap);
+    row_prop.resize(rows_cap);
+    p->pend.clear();
+    int64_t rows = next(prod_max_records, &p->n_records, row_bases.data(),
+                        row_len.data(), row_prop.data(), rows_cap, &p->pend);
+    if (rows < 0) {
+      perr = src->err.empty() ? "read error" : src->err;
+      return false;
+    }
+    p->rows = rows;
+    p->fb = 0;
+    p->rowW = 0;
+    if (rows == 0) return true;
+    static bool ok_tbl_init = false;
+    static bool ok_tbl[256];
+    if (!ok_tbl_init) {
+      memset(ok_tbl, 0, sizeof(ok_tbl));
+      ok_tbl[0] = ok_tbl['A'] = ok_tbl['C'] = ok_tbl['G'] = ok_tbl['T'] =
+          ok_tbl['N'] = true;
+      ok_tbl_init = true;
+    }
+    bool iupac = false;
+    bool has_n = false;
+    for (int64_t r = 0; r < rows && !iupac; r++) {
+      const uint8_t* src8 = row_bases.data() + (size_t)r * Lmax;
+      for (int j = 0; j < row_len[r]; j++) {
+        if (!ok_tbl[src8[j]]) {
+          iupac = true;
+          break;
+        }
+        has_n |= src8[j] == 'N';
+      }
+    }
+    if (iupac) {
+      p->fb = 1;
+      p->ascii_bases.assign(row_bases.data(),
+                            row_bases.data() + (size_t)rows * Lmax);
+      p->ascii_len.assign(row_len.data(), row_len.data() + rows);
+      p->ascii_prop.assign(row_prop.data(), row_prop.data() + rows);
+      return true;
+    }
+    const bool meta8 = Lmax <= 248 && proportion_repeat <= 1.0;
+    const bool non = meta8 && !has_n;
+    const int64_t rowW = non ? (int64_t)Lmax / 4 + 11
+                             : 3 * (int64_t)Lmax / 8 + (meta8 ? 11 : 22);
+    p->rowW = rowW;
+    p->fb = non ? 2 : 0;
+    p->payload.resize((size_t)rows * rowW);
+    pack_rows(p->payload.data(), rows, rowW, meta8, non);
+    return true;
+  }
+
+  // pack `rows` scratch rows into `dst` at rowW stride (fused wire layout)
+  void pack_rows(uint8_t* payload, int64_t rows, int64_t rowW, bool meta8,
+                 bool non) {
+    for (int64_t r = 0; r < rows; r++) {
+      const uint8_t* src8 = row_bases.data() + (size_t)r * Lmax;
+      uint8_t* dst = payload + r * rowW;
+      for (int j = 0; j < Lmax; j += 4)
+        dst[j >> 2] =
+            (uint8_t)(((src8[j] >> 1) & 3) | ((src8[j + 1] >> 1) & 3) << 2 |
+                      ((src8[j + 2] >> 1) & 3) << 4 |
+                      ((src8[j + 3] >> 1) & 3) << 6);
+      int64_t meta_off = Lmax / 4;
+      if (!non) {
+        uint8_t* nb = dst + Lmax / 4;
+        for (int j = 0; j < Lmax; j += 8) {
+          uint8_t b = 0;
+          for (int i = 0; i < 8; i++) b |= (uint8_t)(src8[j + i] == 'N') << i;
+          nb[j >> 3] = b;
+        }
+        meta_off = 3 * Lmax / 8;
+      }
+      const double L = (double)row_len[r];
+      const double prop = row_prop[r];
+      if (meta8) {  // u8 meta (te<=14, tp<=124, length<=248)
+        uint8_t* meta = dst + meta_off;
+        for (int ki = 0; ki < 5; ki++) {
+          const double k = (double)(ki + 2);
+          meta[ki] = (uint8_t)(int64_t)(L * 0.12 / k);
+          meta[5 + ki] = (uint8_t)(int64_t)(L * prop / k);
+        }
+        meta[10] = (uint8_t)row_len[r];
+      } else {
+        uint16_t* meta = (uint16_t*)(dst + meta_off);
+        for (int ki = 0; ki < 5; ki++) {
+          const double k = (double)(ki + 2);
+          meta[ki] = (uint16_t)(int64_t)(L * 0.12 / k);
+          meta[5 + ki] = (uint16_t)(int64_t)(L * prop / k);
+        }
+        meta[10] = (uint16_t)row_len[r];
+      }
+    }
+  }
+
+  void producer_loop() {
+    for (;;) {
+      std::unique_ptr<Produced> p;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return quitting || ready_q.size() < MAX_READY;
+        });
+        if (quitting) return;
+        if (!pool.empty()) {
+          p = std::move(pool.back());
+          pool.pop_back();
+        }
+      }
+      if (!p) p = std::make_unique<Produced>();
+      bool ok = produce(p.get());
+      bool at_end = ok && p->n_records == 0 && phase >= 2;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (!ok) {
+          producer_done = true;  // perr set; surfaced by next pop
+        } else {
+          ready_q.push_back(std::move(p));
+          if (at_end) producer_done = true;
+        }
+      }
+      cv_ready.notify_all();
+      if (!ok || at_end) return;
+    }
+  }
+
+  // main-thread side: pop the next produced batch (starts the thread on
+  // first use), copy into the caller's buffers, queue Pending for feed()
+  int64_t pop_fused(int64_t max_records, int64_t* n_records, uint8_t* payload,
+                    uint8_t* ascii_bases, int32_t* ascii_len,
+                    double* ascii_prop, int64_t rows_cap,
+                    int32_t* used_fallback) {
+    if (!producer_started) {
+      producer_started = true;
+      prod_max_records = max_records;
+      prod_rows_cap = rows_cap;
+      producer = std::thread([this] { producer_loop(); });
+    }
+    std::unique_ptr<Produced> p;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_ready.wait(lk, [&] {
+        return !ready_q.empty() || (producer_done && !perr.empty()) ||
+               (producer_done && ready_q.empty());
+      });
+      if (ready_q.empty()) {
+        if (!perr.empty()) {
+          err = perr;
+          return -1;
+        }
+        *n_records = 0;
+        *used_fallback = 0;
+        return 0;  // drained
+      }
+      p = std::move(ready_q.front());
+      ready_q.pop_front();
+    }
+    cv_space.notify_all();
+    *n_records = p->n_records;
+    *used_fallback = p->fb;
+    int64_t rows = p->rows;
+    if (rows > 0) {
+      if (p->fb == 1) {
+        memcpy(ascii_bases, p->ascii_bases.data(), (size_t)rows * Lmax);
+        memcpy(ascii_len, p->ascii_len.data(), rows * sizeof(int32_t));
+        memcpy(ascii_prop, p->ascii_prop.data(), rows * sizeof(double));
+      } else {
+        // caller's buffer is rows_cap*maxW and pre-zeroed; rows are packed
+        // at p->rowW stride which the Python side re-views
+        memcpy(payload, p->payload.data(), (size_t)rows * p->rowW);
+      }
+    }
+    if (!p->pend.empty()) queue.push_back(std::move(p->pend));
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (pool.size() < MAX_READY + 1) pool.push_back(std::move(p));
+    }
+    return rows;
+  }
+
+  bool drained() {
+    std::lock_guard<std::mutex> lk(mu);
+    return producer_started ? (producer_done && ready_q.empty())
+                            : phase >= 2;
   }
 
   static void unit_from_result(const KernelResult& kr, Tread* t) {
@@ -639,107 +882,33 @@ void sio_ex_set_index(void* ve, int tid, const int64_t* starts,
 int64_t sio_ex_next(void* ve, int64_t max_records, int64_t* n_records,
                     uint8_t* bases, int32_t* lengths, double* props,
                     int64_t rows_cap) {
-  return ((Engine*)ve)->next(max_records, n_records, bases, lengths, props,
-                             rows_cap);
+  Engine* e = (Engine*)ve;
+  if (e->producer_started) {
+    e->err = "cannot mix sio_ex_next with the pipelined fused reader";
+    return -1;
+  }
+  std::vector<Pending> tmp;
+  int64_t rows = e->next(max_records, n_records, bases, lengths, props,
+                         rows_cap, &tmp);
+  if (!tmp.empty()) e->queue.push_back(std::move(tmp));
+  return rows;
 }
 
 // Fused-payload batch read: rows come out directly in the kernel's wire
-// layout (ops/kmer.py fuse_payload): per row of width 3*Lmax/8 + 22,
-//   [Lmax/4 bytes 2-bit codes | Lmax/8 bytes N bitmask |
-//    5x te u16 | 5x tp u16 | length u16]  (little-endian u16s)
-// te/tp are computed with the same double-precision expressions as
-// ops/kmer.py _host_thresholds (utils.nim:251,259). If the batch contains
-// any byte outside {0,A,C,G,T,N} the 2-bit code is not faithful
-// ((c>>1)&3 of e.g. 'R' is unrecoverable), so the ASCII rows are copied to
-// the fallback buffers instead and *used_fallback is set.
+// layout (ops/kmer.py fuse_payload; see Engine::pack_rows for the exact
+// bytes and the te/tp double-precision expressions, utils.nim:251,259).
+// Production path is PIPELINED: a producer thread decodes+prefilters+packs
+// the next batch while the caller's thread runs feed() and Python
+// dispatches device work. If a batch contains a byte outside {0,A,C,G,T,N}
+// the 2-bit code is not faithful, so raw ASCII rows are returned instead
+// (*used_fallback = 1).
 int64_t sio_ex_next_fused(void* ve, int64_t max_records, int64_t* n_records,
                           uint8_t* payload, uint8_t* ascii_bases,
                           int32_t* ascii_len, double* ascii_prop,
                           int64_t rows_cap, int32_t* used_fallback) {
-  Engine* e = (Engine*)ve;
-  const int Lmax = e->Lmax;
-  e->row_bases.resize((size_t)rows_cap * Lmax);
-  e->row_len.resize(rows_cap);
-  e->row_prop.resize(rows_cap);
-  int64_t rows = e->next(max_records, n_records, e->row_bases.data(),
-                         e->row_len.data(), e->row_prop.data(), rows_cap);
-  if (rows <= 0) {
-    *used_fallback = 0;
-    return rows;
-  }
-  static bool ok_tbl_init = false;
-  static bool ok_tbl[256];
-  if (!ok_tbl_init) {
-    memset(ok_tbl, 0, sizeof(ok_tbl));
-    ok_tbl[0] = ok_tbl['A'] = ok_tbl['C'] = ok_tbl['G'] = ok_tbl['T'] =
-        ok_tbl['N'] = true;
-    ok_tbl_init = true;
-  }
-  bool iupac = false;
-  bool has_n = false;
-  for (int64_t r = 0; r < rows && !iupac; r++) {
-    const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
-    for (int j = 0; j < e->row_len[r]; j++) {
-      if (!ok_tbl[src[j]]) {
-        iupac = true;
-        break;
-      }
-      has_n |= src[j] == 'N';
-    }
-  }
-  if (iupac) {
-    memcpy(ascii_bases, e->row_bases.data(), (size_t)rows * Lmax);
-    memcpy(ascii_len, e->row_len.data(), rows * sizeof(int32_t));
-    memcpy(ascii_prop, e->row_prop.data(), rows * sizeof(double));
-    *used_fallback = 1;
-    return rows;
-  }
-  // u8 meta when thresholds/length fit a byte; N-free batches (the common
-  // case) drop the N bitmask plane entirely — the "n8" wire layout of
-  // ops/kmer.py fuse_payload, ~30% less tunnel payload per row
-  const bool meta8 = Lmax <= 248 && e->proportion_repeat <= 1.0;
-  const bool non = meta8 && !has_n;
-  const int64_t rowW =
-      non ? (int64_t)Lmax / 4 + 11 : 3 * (int64_t)Lmax / 8 + (meta8 ? 11 : 22);
-  for (int64_t r = 0; r < rows; r++) {
-    const uint8_t* src = e->row_bases.data() + (size_t)r * Lmax;
-    uint8_t* dst = payload + r * rowW;
-    for (int j = 0; j < Lmax; j += 4)
-      dst[j >> 2] = (uint8_t)(((src[j] >> 1) & 3) | ((src[j + 1] >> 1) & 3) << 2 |
-                              ((src[j + 2] >> 1) & 3) << 4 |
-                              ((src[j + 3] >> 1) & 3) << 6);
-    int64_t meta_off = Lmax / 4;
-    if (!non) {
-      uint8_t* nb = dst + Lmax / 4;
-      for (int j = 0; j < Lmax; j += 8) {
-        uint8_t b = 0;
-        for (int i = 0; i < 8; i++) b |= (uint8_t)(src[j + i] == 'N') << i;
-        nb[j >> 3] = b;
-      }
-      meta_off = 3 * Lmax / 8;
-    }
-    const double L = (double)e->row_len[r];
-    const double prop = e->row_prop[r];
-    if (meta8) {  // u8 meta (te<=14, tp<=124, length<=248)
-      uint8_t* meta = dst + meta_off;
-      for (int ki = 0; ki < 5; ki++) {
-        const double k = (double)(ki + 2);
-        meta[ki] = (uint8_t)(int64_t)(L * 0.12 / k);
-        meta[5 + ki] = (uint8_t)(int64_t)(L * prop / k);
-      }
-      meta[10] = (uint8_t)e->row_len[r];
-    } else {
-      uint16_t* meta = (uint16_t*)(dst + meta_off);
-      for (int ki = 0; ki < 5; ki++) {
-        const double k = (double)(ki + 2);
-        meta[ki] = (uint16_t)(int64_t)(L * 0.12 / k);
-        meta[5 + ki] = (uint16_t)(int64_t)(L * prop / k);
-      }
-      meta[10] = (uint16_t)e->row_len[r];
-    }
-  }
-  *used_fallback = non ? 2 : 0;
-  return rows;
+  return ((Engine*)ve)->pop_fused(max_records, n_records, payload,
+                                  ascii_bases, ascii_len, ascii_prop,
+                                  rows_cap, used_fallback);
 }
 
 int sio_ex_feed(void* ve, const int32_t* unit_code, const int32_t* unit_len,
@@ -752,7 +921,7 @@ int sio_ex_feed(void* ve, const int32_t* unit_code, const int32_t* unit_len,
   return 0;
 }
 
-int sio_ex_done(void* ve) { return ((Engine*)ve)->phase >= 2 ? 1 : 0; }
+int sio_ex_done(void* ve) { return ((Engine*)ve)->drained() ? 1 : 0; }
 
 // Restrict the engine to a tid shard (multi-host extract). Must be called
 // before the first sio_ex_next*; tids are iterated in the given order via
@@ -761,7 +930,7 @@ int sio_ex_done(void* ve) { return ((Engine*)ve)->phase >= 2 ? 1 : 0; }
 int sio_ex_set_shard(void* ve, const int32_t* tids, int64_t n_tids,
                      int include_unplaced) {
   Engine* e = (Engine*)ve;
-  if (e->begun) return -1;
+  if (e->begun || e->producer_started) return -1;
   e->sharded = true;
   e->shard_tids.assign(tids, tids + n_tids);
   int n = (int)e->gi_starts.size();
@@ -776,6 +945,39 @@ int sio_ex_set_shard(void* ve, const int32_t* tids, int64_t n_tids,
 // cross-check that outputs are byte-identical either way).
 void sio_ex_set_prefilter(void* ve, int enabled) {
   ((Engine*)ve)->prefilter = enabled != 0;
+}
+
+// Deferred median: the fragment-length pre-pass (utils.nim:86-111) can run
+// concurrently with the producer because the median is only consumed by
+// feed()'s adjust_by (extract.nim:141-179). Must be set before the first
+// sio_ex_feed.
+void sio_ex_set_median(void* ve, int64_t median) {
+  ((Engine*)ve)->median_fragment_length = median;
+}
+
+// Longest primary-record l_seq the engine has seen (to validate a peeked
+// Lmax after the run: a longer read would have been truncated on the wire).
+int64_t sio_ex_max_len(void* ve) {
+  return ((Engine*)ve)->max_len_seen.load(std::memory_order_relaxed);
+}
+
+// Light-parse the first n records (sequential) and report the max l_seq —
+// the cheap Lmax probe for the overlapped extract. Rewinds by virtue of the
+// next begin() call re-priming the iterator.
+int64_t sio_peek_max_len(void* bam_handle, int64_t n_records) {
+  auto* h = (sio::Handle*)bam_handle;
+  Reader* rd = h->rd;
+  rd->begin(0, -1, 0, 0);
+  rd->set_light(true);
+  BamRec r;
+  int64_t mx = 0;
+  for (int64_t i = 0; i < n_records; i++) {
+    int rc = rd->next(&r);
+    if (rc <= 0) break;
+    mx = std::max<int64_t>(mx, r.l_seq);
+  }
+  rd->set_light(false);
+  return mx;
 }
 
 int64_t sio_ex_n_spill(void* ve) {

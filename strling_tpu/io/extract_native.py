@@ -55,6 +55,11 @@ def _bind(lib):
     lib.sio_ex_set_shard.restype = C.c_int
     lib.sio_ex_set_shard.argtypes = [C.c_void_p, P(np.int32), C.c_int64, C.c_int]
     lib.sio_ex_set_prefilter.argtypes = [C.c_void_p, C.c_int]
+    lib.sio_ex_set_median.argtypes = [C.c_void_p, C.c_int64]
+    lib.sio_ex_max_len.restype = C.c_int64
+    lib.sio_ex_max_len.argtypes = [C.c_void_p]
+    lib.sio_peek_max_len.restype = C.c_int64
+    lib.sio_peek_max_len.argtypes = [C.c_void_p, C.c_int64]
     lib.sio_ex_n_spill.restype = C.c_int64
     lib.sio_ex_n_spill.argtypes = [C.c_void_p]
     lib.sio_ex_get_spill.restype = C.c_int64
@@ -77,6 +82,13 @@ def _lib():
         _bind(lib)
         _bound = True
     return lib
+
+
+def peek_max_len(bam: Bam, n_records: int = 10_000) -> int:
+    """Max l_seq over the first records (cheap Lmax probe; the engine
+    reports its true max after the run so a longer late read triggers an
+    exact re-run)."""
+    return int(_lib().sio_peek_max_len(bam._h, n_records))
 
 
 def native_frag_hist(bam: Bam, skip_reads: int = 100_000,
@@ -203,9 +215,18 @@ class NativeExtractor:
                 np.ascontiguousarray(cnt, np.int32), len(code),
             )
 
+    def set_median(self, median: int):
+        """Set the fragment-length median (deferred-median mode); must run
+        before the first feed — adjust_by is its only consumer."""
+        self.lib.sio_ex_set_median(self._e, int(median))
+
+    @property
+    def max_len_seen(self) -> int:
+        return int(self.lib.sio_ex_max_len(self._e))
+
     def run(self, backend: str = "auto", depth: int = 8,
             buckets: tuple[int, ...] | None = None,
-            devices: list | None = None) -> TreadBatch:
+            devices: list | None = None, pre_feed_hook=None) -> TreadBatch:
         """Pipelined loop. Each batch comes out of the C++ engine already in
         the kernel's fused wire layout; a pool of `depth` worker threads runs
         the blocking transfer→scan→fetch chain so up to `depth` device round
@@ -258,10 +279,15 @@ class NativeExtractor:
                 done = n_records == 0 and bool(lib.sio_ex_done(self._e))
                 limit = 0 if done else max(0, depth - 1)
                 while len(inflight) > limit:
+                    if pre_feed_hook is not None:
+                        pre_feed_hook()
+                        pre_feed_hook = None
                     f = inflight.popleft()
                     self._feed(None if f is EMPTY else f.result())
                 if done:
                     break
+        if pre_feed_hook is not None:
+            pre_feed_hook()
         return self.treads()
 
     def set_shard(self, tids, include_unplaced: bool):

@@ -159,3 +159,67 @@ def test_profile_trace_hook(tmp_path):
     for root, _, files in os.walk(d):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_hubers_est_batch_matches_scalar():
+    """hubers_est_batch must agree row-for-row with the scalar hubers_est
+    (Huber proposal-2 + MAD fallback, strling-outliers.py:115-136) across
+    normal, outlier-spiked, constant (mad=0 -> fallback), NaN-bearing,
+    singleton, and empty rows."""
+    import pandas as pd
+    from strling_tpu.core.outliers import hubers_est, hubers_est_batch
+
+    rng = np.random.default_rng(42)
+    rows = []
+    rows.append(rng.normal(0, 1, 40))                       # clean
+    rows.append(np.concatenate([rng.normal(5, 0.1, 30), [50.0, -40.0]]))
+    rows.append(np.full(20, 3.25))                          # mad == 0
+    r = rng.normal(0, 2, 25)
+    r[::5] = np.nan                                         # NaN-bearing
+    rows.append(r)
+    rows.append(np.array([7.5]))                            # singleton
+    rows.append(np.full(10, np.nan))                        # empty
+    rows.append(np.concatenate([np.full(18, 1.0), [2.0, 3.0]]))
+    for seed in range(10):
+        rr = np.random.default_rng(seed)
+        rows.append(rr.normal(rr.uniform(-3, 3), rr.uniform(0.01, 5), 35))
+    W = max(len(r) for r in rows)
+    X = np.full((len(rows), W), np.nan)
+    for i, r in enumerate(rows):
+        X[i, :len(r)] = r
+    bmu, bsd, bmeth = hubers_est_batch(X)
+    for i in range(len(rows)):
+        ref = hubers_est(X[i])
+        if np.isnan(ref["mu"]):
+            assert np.isnan(bmu[i]), i
+        else:
+            np.testing.assert_allclose(bmu[i], ref["mu"], rtol=1e-12, err_msg=str(i))
+        if np.isnan(ref["sd"]):
+            assert np.isnan(bsd[i]), i
+        else:
+            np.testing.assert_allclose(bsd[i], ref["sd"], rtol=1e-12, err_msg=str(i))
+        assert bmeth[i] == ref["method"], (i, bmeth[i], ref["method"])
+
+
+def test_hubers_native_bitwise_matches_numpy():
+    """The native batched Huber (io/csrc/huber.cc) replicates numpy's
+    scalar pairwise summation; numpy's SIMD sum tree can differ by ~1 ulp,
+    so results must agree to 4 ulp (outputs print at 2 significant digits,
+    so this is far below visibility)."""
+    from strling_tpu.core.outliers import _hubers_est_batch_np, hubers_est_batch
+
+    rng = np.random.default_rng(7)
+    L, S = 400, 130  # S > 128 exercises the recursive pairwise split
+    X = rng.normal(-2, 1.5, (L, S))
+    X[rng.random((L, S)) < 0.05] = np.nan
+    X[:10] = 1.25  # constant rows -> MAD fallback
+    X[10:20, 0] += 40  # outliers
+    nmu, nsd, nmeth = hubers_est_batch(X)
+    pmu, psd, pmeth = _hubers_est_batch_np(X)
+    np.testing.assert_array_equal(nmeth, pmeth)
+    np.testing.assert_array_equal(np.isnan(nmu), np.isnan(pmu))
+    np.testing.assert_array_equal(np.isnan(nsd), np.isnan(psd))
+    m = ~np.isnan(pmu)
+    np.testing.assert_allclose(nmu[m], pmu[m], rtol=1e-15, atol=0)
+    m = ~np.isnan(psd)
+    np.testing.assert_allclose(nsd[m], psd[m], rtol=1e-15, atol=0)

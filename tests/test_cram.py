@@ -595,3 +595,41 @@ def test_stored_qualities_skip_equivalence(paths, tmp_path):
         assert r.returncode == 0, r.stderr.decode()[-800:]
         outs.append(r.stdout.strip())
     assert outs[0] == outs[1]
+
+
+def test_bzip2_lzma_roundtrip(paths):
+    """CRAM block methods 2 (bzip2) and 3 (lzma/.xz): blocks compressed by
+    the Python stdlib (independent implementations) must decode through the
+    native bz2/xz decoders. htslib writes such files with
+    --output-fmt-option use_bzip2/use_lzma (strling.nimble:20 ships the
+    full htslib codec set)."""
+    p = str(paths["dir"] / "bzlz.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"],
+               slice_size=41, bz_lzma=True)
+    # the file really uses methods 2 and 3
+    blob = open(p, "rb").read()
+    from strling_tpu.io.cramwrite import itf8
+    import bz2 as _bz2
+
+    probe = _bz2.compress(b"x")[:3]
+    assert probe[:2] == b"BZ" and blob.count(b"BZh9") > 0
+    assert blob.count(b"\xfd7zXZ\x00") > 0  # xz stream magic
+    assert_same_records(paths["bam"], p, fasta=paths["fa"])
+
+
+def test_bzip2_lzma_corrupt_blocks_rejected(paths, tmp_path):
+    """Bit-flipped bzip2/lzma payloads must fail cleanly, not crash."""
+    p = str(tmp_path / "bzlz_bad.cram")
+    write_cram(p, HEADER, TARGETS, paths["recs"], fasta=paths["fa"],
+               slice_size=1000, bz_lzma=True)
+    blob = bytearray(open(p, "rb").read())
+    i = blob.find(b"BZh9")
+    assert i > 0
+    blob[i + 10] ^= 0xFF
+    bad = str(tmp_path / "flip.cram")
+    open(bad, "wb").write(bytes(blob))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        c = Bam(bad, fasta=paths["fa"])
+        collect(c.batches())
