@@ -801,6 +801,47 @@ FQZ_HAVE_QMAP = 16
 FQZ_HAVE_PTAB = 32
 FQZ_HAVE_DTAB = 64
 FQZ_HAVE_QTAB = 128
+FQZ_DO_SEL = 8
+FQZ_GFLAG_MULTI_PARAM = 1
+FQZ_GFLAG_HAVE_STAB = 2
+FQZ_GFLAG_DO_REV = 4
+
+
+def fqz_store_array(arr: list[int]) -> bytes:
+    """htscodecs store_array: run lengths per ascending value
+    (255-continuation with a trailing 0 for exact multiples), then that
+    byte stream RLE'd — a byte equal to its predecessor is followed by a
+    count of additional copies. Mirrors fqz_read_array in csrc/cram.cc."""
+    tmp = bytearray()
+    i = 0
+    j = 0
+    while i < len(arr):
+        if j > 256:
+            raise ValueError(
+                "store_array requires a non-decreasing table (as all "
+                "fqzcomp bucket maps are)")
+        start = i
+        while i < len(arr) and arr[i] == j:
+            i += 1
+        r = i - start
+        while True:
+            tmp.append(min(255, r))
+            r -= 255
+            if r < 0:
+                break
+        j += 1
+    out = bytearray()
+    k = 0
+    while k < len(tmp):
+        out.append(tmp[k])
+        if k and tmp[k] == tmp[k - 1]:
+            t = k + 1
+            while t < len(tmp) and tmp[t] == tmp[k] and t - k - 1 < 255:
+                t += 1
+            out.append(t - k - 1)
+            k = t - 1
+        k += 1
+    return bytes(out)
 
 
 def fqz_encode(recs: list[bytes], qbits: int = 8, qshift: int = 5,
@@ -809,70 +850,145 @@ def fqz_encode(recs: list[bytes], qbits: int = 8, qshift: int = 5,
                qmap: bytes | None = None, qtab: list[int] | None = None,
                ptab: list[int] | None = None, dtab: list[int] | None = None,
                context: int = 0) -> bytes:
-    """Method-7 fqzcomp stream for a list of per-record quality strings
-    (single-parameter form: gflags=0). The block payload decodes to
-    b"".join(recs)."""
-    if qmap is not None:
-        inv = {q: i for i, q in enumerate(qmap)}
-        max_sym = len(qmap)
-    else:
-        max_sym = (max(max(r) for r in recs if r) + 1) if any(recs) else 1
-        inv = None
-    pflags = 0
-    if do_len:
-        pflags |= FQZ_DO_LEN
-    if do_dedup:
-        pflags |= FQZ_DO_DEDUP
-    if qmap is not None:
-        pflags |= FQZ_HAVE_QMAP
-    if qtab is not None:
-        pflags |= FQZ_HAVE_QTAB
-    if ptab is not None:
-        pflags |= FQZ_HAVE_PTAB
-    if dtab is not None:
-        pflags |= FQZ_HAVE_DTAB
-    if not do_len and recs:
-        # without DO_LEN only the first record's length is coded; the
-        # decoder assumes every record shares it
+    """Method-7 fqzcomp stream, single-parameter form (gflags=0). The block
+    payload decodes to b"".join(recs)."""
+    return fqz_encode31(
+        recs,
+        [dict(qbits=qbits, qshift=qshift, qloc=qloc, ploc=ploc, dloc=dloc,
+              do_len=do_len, do_dedup=do_dedup, qmap=qmap, qtab=qtab,
+              ptab=ptab, dtab=dtab, context=context)],
+    )
+
+
+def fqz_encode31(recs: list[bytes], params: list[dict],
+                 selectors: list[int] | None = None,
+                 stab: list[int] | None = None,
+                 reverse: list[bool] | None = None) -> bytes:
+    """Method-7 fqzcomp stream covering every CRAM 3.1 shape: one or more
+    parameter sets (gflag 1), an explicit selector table (gflag 2; each
+    record carries a selector symbol, mapped to a parameter via stab and
+    optionally mixed into the context at sloc when the parameter sets
+    do_sel), and per-record reversed qualities (gflag 4 — flagged records
+    are stored reversed and un-reversed by the decoder). Per-record code
+    order is [selector][length][rev][dup][bases]; tables are stored with
+    the htscodecs store_array RLE (fqz_store_array). Decoded by
+    csrc/cram.cc fqz_decode."""
+    nparam = len(params)
+    assert nparam >= 1
+    selectors = selectors or [0] * len(recs)
+    reverse = reverse or [False] * len(recs)
+    gflags = 0
+    if nparam > 1:
+        gflags |= FQZ_GFLAG_MULTI_PARAM
+    if stab is not None:
+        gflags |= FQZ_GFLAG_HAVE_STAB
+    if any(reverse):
+        gflags |= FQZ_GFLAG_DO_REV
+    do_rev = bool(gflags & FQZ_GFLAG_DO_REV)
+    stab_eff = (list(stab) if stab is not None
+                else [min(i, nparam - 1) for i in range(256)])
+    max_sel = (max(selectors, default=0) if stab is not None
+               else (nparam - 1 if nparam > 1 else 0))
+
+    out = bytearray([5, gflags])
+    if gflags & FQZ_GFLAG_MULTI_PARAM:
+        out.append(nparam)
+    if gflags & FQZ_GFLAG_HAVE_STAB:
+        out.append(max_sel)
+        out += fqz_store_array(stab_eff)
+
+    # normalized per-param state
+    P = []
+    gmax_sym = 1
+    for prm in params:
+        qmap = prm.get("qmap")
+        if qmap is not None:
+            inv = {q: i for i, q in enumerate(qmap)}
+            max_sym = len(qmap)
+        else:
+            inv = None
+            max_sym = (max(max(r) for r in recs if r) + 1) if any(recs) else 1
+        pflags = 0
+        if prm.get("do_len", True):
+            pflags |= FQZ_DO_LEN
+        if prm.get("do_dedup", False):
+            pflags |= FQZ_DO_DEDUP
+        if prm.get("do_sel", False):
+            pflags |= FQZ_DO_SEL
+        if qmap is not None:
+            pflags |= FQZ_HAVE_QMAP
+        if prm.get("qtab") is not None:
+            pflags |= FQZ_HAVE_QTAB
+        if prm.get("ptab") is not None:
+            pflags |= FQZ_HAVE_PTAB
+        if prm.get("dtab") is not None:
+            pflags |= FQZ_HAVE_DTAB
+        st = dict(
+            context=prm.get("context", 0), pflags=pflags, max_sym=max_sym,
+            inv=inv, qbits=prm.get("qbits", 8), qshift=prm.get("qshift", 5),
+            qloc=prm.get("qloc", 7), sloc=prm.get("sloc", 15),
+            ploc=prm.get("ploc", 0), dloc=prm.get("dloc", 13),
+            qt=list(prm["qtab"]) if prm.get("qtab") is not None
+            else list(range(256)),
+            pt=list(prm["ptab"]) if prm.get("ptab") is not None
+            else [0] * 1024,
+            dt=list(prm["dtab"]) if prm.get("dtab") is not None
+            else [0] * 256,
+        )
+        gmax_sym = max(gmax_sym, max_sym)
+        P.append(st)
+        out += struct.pack("<H", st["context"])
+        out.append(pflags)
+        out.append(0 if max_sym == 256 else max_sym)
+        out.append((st["qbits"] << 4) | st["qshift"])
+        out.append((st["qloc"] << 4) | st["sloc"])
+        out.append((st["ploc"] << 4) | st["dloc"])
+        if qmap is not None:
+            out += bytes(qmap)
+        if pflags & FQZ_HAVE_QTAB:
+            out += fqz_store_array(st["qt"])
+        if pflags & FQZ_HAVE_PTAB:
+            out += fqz_store_array(st["pt"])
+        if pflags & FQZ_HAVE_DTAB:
+            out += fqz_store_array(st["dt"])
+
+    if not all(p["pflags"] & FQZ_DO_LEN for p in P) and recs:
         assert all(len(r) == len(recs[0]) for r in recs), \
             "do_len=False requires fixed-length records"
-    out = bytearray([5, 0])  # vers, gflags (single param, no selector/rev)
-    out += struct.pack("<H", context)
-    out.append(pflags)
-    out.append(0 if max_sym == 256 else max_sym)
-    out.append((qbits << 4) | qshift)
-    out.append((qloc << 4) | 15)  # sloc unused (no selector)
-    out.append((ploc << 4) | dloc)
-    if qmap is not None:
-        out += bytes(qmap)
-    qt = list(qtab) if qtab is not None else list(range(256))
-    pt = list(ptab) if ptab is not None else [0] * 1024
-    dt = list(dtab) if dtab is not None else [0] * 256
-    if qtab is not None:
-        out += bytes(qt)
-    if ptab is not None:
-        out += bytes(pt)
-    if dtab is not None:
-        out += bytes(dt)
 
     rc = _RangeEnc()
     qual: dict[int, _AModel] = {}
     lens = [_AModel(256) for _ in range(4)]
     dup = _AModel(2)
+    sel_m = _AModel(256)
+    rev_m = _AModel(2)
     prev: bytes | None = None
     first = True
-    for rec in recs:
-        assert rec, "fqzcomp records must be non-empty"
-        if first or do_len:
+    for ri, rec0 in enumerate(recs):
+        assert rec0, "fqzcomp records must be non-empty"
+        s_sym = selectors[ri]
+        if max_sel:
+            sel_m.encode(rc, s_sym)
+        st = P[stab_eff[s_sym & 0xFF]]
+        rec = rec0[::-1] if (do_rev and reverse[ri]) else rec0
+        if first or (st["pflags"] & FQZ_DO_LEN):
             for i in range(4):
                 lens[i].encode(rc, (len(rec) >> (8 * i)) & 0xFF)
         first = False
-        if do_dedup:
+        if do_rev:
+            rev_m.encode(rc, 1 if reverse[ri] else 0)
+        if st["pflags"] & FQZ_DO_DEDUP:
             is_dup = prev is not None and prev == rec
             dup.encode(rc, 1 if is_dup else 0)
             if is_dup:
                 prev = rec
                 continue
+        inv = st["inv"]
+        qt, pt, dt = st["qt"], st["pt"], st["dt"]
+        context = st["context"]
+        qbits, qshift = st["qbits"], st["qshift"]
+        qloc, sloc, ploc, dloc = (st["qloc"], st["sloc"], st["ploc"],
+                                  st["dloc"])
         ctx = context
         qctx = 0
         q1 = 0
@@ -881,7 +997,7 @@ def fqz_encode(recs: list[bytes], qbits: int = 8, qshift: int = 5,
             q = inv[qv] if inv is not None else qv
             m = qual.get(ctx & 0xFFFF)
             if m is None:
-                m = qual[ctx & 0xFFFF] = _AModel(max_sym)
+                m = qual[ctx & 0xFFFF] = _AModel(gmax_sym)
             m.encode(rc, q)
             qctx = (qctx << qshift) + qt[q]
             ctx = context
@@ -890,6 +1006,8 @@ def fqz_encode(recs: list[bytes], qbits: int = 8, qshift: int = 5,
             pos = len(rec) - 1 - i
             ctx += pt[pos if pos < 1024 else 1023] << ploc
             ctx += dt[delta if delta < 256 else 255] << dloc
+            if st["pflags"] & FQZ_DO_SEL:
+                ctx += s_sym << sloc
             delta += 1 if q1 != q else 0
             q1 = q
         prev = rec

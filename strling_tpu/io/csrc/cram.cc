@@ -760,12 +760,12 @@ static bool arith_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
 //
 // Quality-string codec (block method 7): one adaptive model per 16-bit
 // context, where the context mixes recent quality history (qbits/qshift via
-// qtab), position in the read (ptab) and a running delta count (dtab), each
-// placed at a configurable bit offset (qloc/ploc/dloc). Single-parameter
-// streams only (gflags with multi-param/selector/reverse bits are rejected
-// with a clear error); read lengths ride in-band through four length
-// models, matching the CRAM 3.1 layout where the qual block is
-// self-delimiting per record.
+// qtab), position in the read (ptab), a running delta count (dtab) and
+// optionally the per-record selector (sloc), each placed at a configurable
+// bit offset. Supports every gflags stream shape: multi-parameter,
+// selector table, and reversed-quality records; read lengths ride in-band
+// through four length models, matching the CRAM 3.1 layout where the qual
+// block is self-delimiting per record.
 
 struct FqzParam {
   uint32_t context = 0;
@@ -781,12 +781,108 @@ struct FqzParam {
 enum FqzPFlags {
   FQZ_DO_DEDUP = 2,
   FQZ_DO_LEN = 4,
+  FQZ_DO_SEL = 8,
   FQZ_HAVE_QMAP = 16,
   FQZ_HAVE_PTAB = 32,
   FQZ_HAVE_DTAB = 64,
   FQZ_HAVE_QTAB = 128,
 };
 
+enum FqzGFlags {
+  FQZ_GFLAG_MULTI_PARAM = 1,
+  FQZ_GFLAG_HAVE_STAB = 2,
+  FQZ_GFLAG_DO_REV = 4,
+};
+
+// htscodecs read_array: tables (qtab/ptab/dtab/stab) are stored as run
+// lengths per ascending value (255-continuation bytes, with a trailing 0
+// for exact multiples), and that byte stream is itself RLE'd — a byte
+// equal to its predecessor is followed by a count of additional copies.
+// Reconstructed from the htscodecs store_array/read_array pair; the
+// encoder in io/cramwrite.py mirrors it exactly (round-trip tested).
+static bool fqz_read_array(Buf& b, uint8_t* arr, int size) {
+  int i = 0, v = 0;
+  int prev = -1, pending = 0;
+  auto next_rb = [&](int* out) -> bool {
+    if (pending > 0) {
+      pending--;
+      *out = prev;
+      return true;
+    }
+    int x = b.u8();
+    if (b.fail) return false;
+    if (x == prev) {
+      pending = b.u8();
+      if (b.fail) return false;
+    }
+    prev = x;
+    *out = x;
+    return true;
+  };
+  while (i < size) {
+    int run = 0, rb;
+    do {
+      if (!next_rb(&rb)) return false;
+      run += rb;
+    } while (rb == 255);
+    if (run > size - i) return false;
+    for (int r = 0; r < run; r++) arr[i++] = (uint8_t)v;
+    v++;
+    if (v > 256 && i < size) return false;  // runaway guard
+  }
+  return true;
+}
+
+static bool fqz_read_param(Buf& b, FqzParam* p, std::string* err) {
+  p->context = b.u16le();
+  p->pflags = b.u8();
+  p->max_sym = b.u8();
+  if (p->max_sym == 0) p->max_sym = 256;
+  int x = b.u8();
+  p->qbits = x >> 4;
+  p->qshift = x & 15;
+  x = b.u8();
+  p->qloc = x >> 4;
+  p->sloc = x & 15;
+  x = b.u8();
+  p->ploc = x >> 4;
+  p->dloc = x & 15;
+  for (int i = 0; i < 256; i++) {
+    p->qmap[i] = (uint8_t)i;
+    p->qtab[i] = (uint8_t)i;
+    p->dtab[i] = 0;
+  }
+  memset(p->ptab, 0, sizeof p->ptab);
+  if (p->pflags & FQZ_HAVE_QMAP)
+    for (int i = 0; i < p->max_sym; i++) p->qmap[i] = b.u8();
+  if (p->pflags & FQZ_HAVE_QTAB)
+    if (!fqz_read_array(b, p->qtab, 256)) {
+      *err = "fqzcomp: bad qtab";
+      return false;
+    }
+  if (p->pflags & FQZ_HAVE_PTAB)
+    if (!fqz_read_array(b, p->ptab, 1024)) {
+      *err = "fqzcomp: bad ptab";
+      return false;
+    }
+  if (p->pflags & FQZ_HAVE_DTAB)
+    if (!fqz_read_array(b, p->dtab, 256)) {
+      *err = "fqzcomp: bad dtab";
+      return false;
+    }
+  if (b.fail) {
+    *err = "fqzcomp: truncated parameter block";
+    return false;
+  }
+  return true;
+}
+
+// Full CRAM 3.1 fqzcomp stream shapes: single- and multi-parameter
+// (gflag 1), selector table (gflag 2, with per-record selector symbols
+// optionally mixed into the context via sloc when pflag 8 is set), and
+// reversed-quality records (gflag 4: a per-record reverse bit; flagged
+// records are reversed after decode). Per-record decode order is
+// [selector][length][rev][dup][bases].
 static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
                        std::vector<uint8_t>* out, std::string* err) {
   Buf b(in, in_sz);
@@ -796,60 +892,63 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
     *err = "fqzcomp: unsupported version";
     return false;
   }
-  if (gflags != 0) {
-    *err = "fqzcomp: multi-param/selector/reverse streams not supported";
+  if (gflags & ~(FQZ_GFLAG_MULTI_PARAM | FQZ_GFLAG_HAVE_STAB |
+                 FQZ_GFLAG_DO_REV)) {
+    *err = "fqzcomp: unknown gflags";
     return false;
   }
-  FqzParam p;
-  p.context = b.u16le();
-  p.pflags = b.u8();
-  p.max_sym = b.u8();
-  if (p.max_sym == 0) p.max_sym = 256;
-  int x = b.u8();
-  p.qbits = x >> 4;
-  p.qshift = x & 15;
-  x = b.u8();
-  p.qloc = x >> 4;
-  p.sloc = x & 15;
-  x = b.u8();
-  p.ploc = x >> 4;
-  p.dloc = x & 15;
-  for (int i = 0; i < 256; i++) {
-    p.qmap[i] = (uint8_t)i;
-    p.qtab[i] = (uint8_t)i;
-    p.dtab[i] = 0;
-  }
-  memset(p.ptab, 0, sizeof p.ptab);
-  if (p.pflags & FQZ_HAVE_QMAP)
-    for (int i = 0; i < p.max_sym; i++) p.qmap[i] = b.u8();
-  if (p.pflags & FQZ_HAVE_QTAB)
-    for (int i = 0; i < 256; i++) p.qtab[i] = b.u8();
-  if (p.pflags & FQZ_HAVE_PTAB)
-    for (int i = 0; i < 1024; i++) p.ptab[i] = b.u8();
-  if (p.pflags & FQZ_HAVE_DTAB)
-    for (int i = 0; i < 256; i++) p.dtab[i] = b.u8();
-  if (b.fail) {
-    *err = "fqzcomp: truncated parameter block";
+  int nparam = 1;
+  if (gflags & FQZ_GFLAG_MULTI_PARAM) nparam = b.u8();
+  if (b.fail || nparam < 1) {
+    *err = "fqzcomp: bad parameter count";
     return false;
+  }
+  int max_sel = nparam > 1 ? nparam - 1 : 0;
+  uint8_t stab[256];
+  for (int i = 0; i < 256; i++)
+    stab[i] = (uint8_t)(i < nparam ? i : nparam - 1);
+  if (gflags & FQZ_GFLAG_HAVE_STAB) {
+    max_sel = b.u8();
+    if (b.fail || !fqz_read_array(b, stab, 256)) {
+      *err = "fqzcomp: bad selector table";
+      return false;
+    }
+  }
+  const bool do_rev = (gflags & FQZ_GFLAG_DO_REV) != 0;
+  std::vector<FqzParam> ps(nparam);
+  int gmax_sym = 0;
+  for (int i = 0; i < nparam; i++) {
+    if (!fqz_read_param(b, &ps[i], err)) return false;
+    gmax_sym = std::max(gmax_sym, ps[i].max_sym);
   }
 
   RangeDec rc(&b);
-  // contexts are lazily initialized on first use (as the Python encoder
-  // does): eagerly init-ing all 65536 models costs ~50MB and >130k heap
-  // allocations per block, which attacker-supplied many-container files
-  // would amplify
+  // context models are GLOBAL across params (the context value carries the
+  // param-specific mixing); lazily initialized — see the single-param note
   std::vector<AModel> qual(1 << 16);
   AModel lens[4];
   for (auto& m : lens) m.init(256);
-  AModel dup;
+  AModel dup, sel, rev;
   dup.init(2);
+  sel.init(256);
+  rev.init(2);
 
   out->clear();
   out->reserve(usize);
   uint32_t rec_len = 0;
   bool first = true;
   size_t prev_start = 0;
+  std::vector<std::pair<size_t, uint32_t>> rev_recs;
   while (out->size() < usize) {
+    int s = 0;
+    if (max_sel) {
+      s = sel.decode(rc);
+      if (s < 0) {
+        *err = "fqzcomp: corrupt selector";
+        return false;
+      }
+    }
+    const FqzParam& p = ps[stab[s & 0xff]];
     if (first || (p.pflags & FQZ_DO_LEN)) {
       uint32_t l = 0;
       for (int i = 0; i < 4; i++) {
@@ -867,6 +966,15 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
       *err = "fqzcomp: record length overruns block";
       return false;
     }
+    bool rec_rev = false;
+    if (do_rev) {
+      int rv = rev.decode(rc);
+      if (rv < 0) {
+        *err = "fqzcomp: corrupt reverse flag";
+        return false;
+      }
+      rec_rev = rv != 0;
+    }
     size_t start = out->size();
     if (p.pflags & FQZ_DO_DEDUP) {
       int d = dup.decode(rc);
@@ -882,6 +990,7 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
         out->insert(out->end(), out->begin() + prev_start,
                     out->begin() + start);
         prev_start = start;
+        if (rec_rev) rev_recs.emplace_back(start, rec_len);
         continue;
       }
     }
@@ -890,7 +999,7 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
     int q1 = 0, delta = 0;
     for (uint32_t i = 0; i < rec_len; i++) {
       AModel& qm = qual[ctx & 0xffff];
-      if (qm.nsym == 0) qm.init(p.max_sym);
+      if (qm.nsym == 0) qm.init(gmax_sym);
       int q = qm.decode(rc);
       if (q < 0) {
         *err = "fqzcomp: corrupt quality stream";
@@ -904,15 +1013,19 @@ static bool fqz_decode(const uint8_t* in, size_t in_sz, uint32_t usize,
       uint32_t pos = rec_len - 1 - i;  // positions count down, as stored
       ctx += (uint32_t)p.ptab[pos < 1024 ? pos : 1023] << p.ploc;
       ctx += (uint32_t)p.dtab[delta < 256 ? delta : 255] << p.dloc;
+      if (p.pflags & FQZ_DO_SEL) ctx += (uint32_t)s << p.sloc;
       delta += (q1 != q);
       q1 = q;
     }
+    if (rec_rev) rev_recs.emplace_back(start, rec_len);
     prev_start = start;
   }
   if (b.fail) {
     *err = "fqzcomp: truncated stream";
     return false;
   }
+  for (auto& rr : rev_recs)
+    std::reverse(out->begin() + rr.first, out->begin() + rr.first + rr.second);
   return out->size() == usize;
 }
 

@@ -56,6 +56,17 @@ struct Tread {
   uint8_t repeat_count = 0;
   uint8_t align_length = 0;
   std::string qname;
+  // emission-order key: the sequential extract appends treads in record
+  // order, so tagging each tread with the (segment, record tid, record
+  // rank, push slot) that emitted it lets ANY sharded run reconstruct the
+  // exact single-process bin order by a stable sort (segment 0 = mapped
+  // tids ascending, 1 = the no-coor tail of the sequential scan, 2 = the
+  // explicit query("*") pass — the block is processed twice,
+  // extract.nim:308,326). slots: left clip 0, right clip 1, pair pushes 2,3.
+  uint8_t kseg = 0;
+  uint8_t ksub = 0;
+  int32_t ktid = 0;
+  int64_t krank = 0;
 
   int repeat_length() const {
     for (int i = 0; i < 6; i++)
@@ -118,6 +129,8 @@ static bool should_reverse(uint16_t flag) {
 
 struct Pending {
   // decoded alignment metadata for one buffered primary record
+  uint8_t seg = 0;     // 0 mapped, 1 no-coor (sequential tail), 2 query("*")
+  int64_t rank = 0;    // record index within (seg, tid)
   int32_t tid, pos, mate_tid, mate_pos, end_pos, read_len;
   uint16_t flag;
   uint8_t mapq;
@@ -215,6 +228,10 @@ struct Engine {
   }
 
   std::atomic<int64_t> max_len_seen{0};  // longest l_seq the engine saw
+  // emission-key rank tracking (producer side)
+  int32_t rank_tid = INT32_MIN;
+  uint8_t rank_seg = 0;
+  int64_t rank_ctr = 0;
 
   bool gi_overlaps(int tid, int64_t start, int64_t stop) const {
     const auto& s = gi_starts[tid];
@@ -373,6 +390,16 @@ struct Engine {
         max_len_seen.store(r.l_seq, std::memory_order_relaxed);
 
       Pending p;
+      p.seg = r.tid >= 0 ? 0 : (phase == 0 ? 1 : 2);
+      {
+        int32_t rt = r.tid >= 0 ? r.tid : -1;
+        if (p.seg != rank_seg || rt != rank_tid) {
+          rank_seg = p.seg;
+          rank_tid = rt;
+          rank_ctr = 0;
+        }
+        p.rank = rank_ctr++;
+      }
       p.tid = r.tid;
       p.pos = r.pos;
       p.mate_tid = r.mate_tid;
@@ -739,6 +766,10 @@ struct Engine {
       t.split = s.left ? SOFT_LEFT : SOFT_RIGHT;
       t.mapq = p.mapq;
       t.qname = p.qname;
+      t.kseg = p.seg;
+      t.ktid = p.tid;
+      t.krank = p.rank;
+      t.ksub = s.left ? 0 : 1;
       if (t.p_repeat() < 0.9) continue;  // extract.nim:131
       out.push_back(std::move(t));
     }
@@ -760,6 +791,9 @@ struct Engine {
       tr.flag = p.flag;
       tr.split = SOFT_NONE;
       tr.mapq = p.mapq;
+      tr.kseg = p.seg;
+      tr.ktid = p.tid;
+      tr.krank = p.rank;
       // qname is moved in (not copied) below, after add_soft's last use of
       // p.qname; cached treads keep it in the table key instead
       if (p.fast) {
@@ -808,6 +842,11 @@ struct Engine {
         mate.qname = std::move(nh.key());
         add_soft(p, /*first=*/false, tr.repeat);
         tr.qname = std::move(p.qname);
+        // pair emission happens at THIS record: both treads sort under the
+        // current record's key, in push order (slots 2, 3)
+        mate.kseg = p.seg;
+        mate.ktid = p.tid;
+        mate.krank = p.rank;
         if (mate.repeat_count == 0 && tr.repeat_count == 0) continue;
         if (unplaced_pair(tr, mate)) {
           if (tr.repeat[0] == 0 || mate.repeat[0] == 0) continue;
@@ -817,11 +856,15 @@ struct Engine {
           canonical_repeat(mate.repeat);
           mate.position = 0;
           mate.tid = -1;
+          tr.ksub = 2;
+          mate.ksub = 3;
           out.push_back(std::move(tr));
           out.push_back(std::move(mate));
           continue;
         }
         uint32_t mp = mate.position;
+        mate.ksub = 2;
+        tr.ksub = 3;
         if (adjust_by(mate, tr, tr.position)) out.push_back(mate);
         if (adjust_by(tr, mate, mp)) out.push_back(tr);
       } else {
@@ -1008,6 +1051,22 @@ int64_t sio_ex_get_spill(void* ve, int32_t* tid, uint32_t* position,
     qname_off[i + 1] = qoff;
   }
   return (int64_t)e->spill.size();
+}
+
+// Emission-order keys for the output (which=0) or spill (which=1) treads —
+// the sharded extract sorts gathered treads by (seg, tid, rank, sub) to
+// reproduce the sequential bin order byte-for-byte.
+int64_t sio_ex_get_keys(void* ve, int which, uint8_t* seg, int32_t* ktid,
+                        int64_t* krank, uint8_t* ksub) {
+  Engine* e = (Engine*)ve;
+  const std::vector<Tread>& v = which ? e->spill : e->out;
+  for (size_t i = 0; i < v.size(); i++) {
+    seg[i] = v[i].kseg;
+    ktid[i] = v[i].ktid;
+    krank[i] = v[i].krank;
+    ksub[i] = v[i].ksub;
+  }
+  return (int64_t)v.size();
 }
 
 int64_t sio_ex_nreads(void* ve) { return ((Engine*)ve)->nreads; }

@@ -60,6 +60,11 @@ def _bind(lib):
     lib.sio_ex_max_len.argtypes = [C.c_void_p]
     lib.sio_peek_max_len.restype = C.c_int64
     lib.sio_peek_max_len.argtypes = [C.c_void_p, C.c_int64]
+    lib.sio_ex_get_keys.restype = C.c_int64
+    lib.sio_ex_get_keys.argtypes = [
+        C.c_void_p, C.c_int, P(np.uint8), P(np.int32), P(np.int64),
+        P(np.uint8),
+    ]
     lib.sio_ex_n_spill.restype = C.c_int64
     lib.sio_ex_n_spill.argtypes = [C.c_void_p]
     lib.sio_ex_get_spill.restype = C.c_int64
@@ -337,6 +342,20 @@ class NativeExtractor:
     @property
     def nreads(self) -> int:
         return int(_lib().sio_ex_nreads(self._e))
+
+    def emission_keys(self, which: int = 0):
+        """(seg, tid, rank, sub) emission-order key arrays for the output
+        (which=0) or spill (which=1) treads; sorting gathered shard treads
+        by this key reproduces the sequential bin order exactly."""
+        lib = _lib()
+        n = int(lib.sio_ex_n_spill(self._e) if which
+                else lib.sio_ex_n_treads(self._e))
+        seg = np.empty(n, np.uint8)
+        ktid = np.empty(n, np.int32)
+        krank = np.empty(n, np.int64)
+        ksub = np.empty(n, np.uint8)
+        lib.sio_ex_get_keys(self._e, which, seg, ktid, krank, ksub)
+        return seg, ktid, krank, ksub
 
     def treads(self) -> TreadBatch:
         lib = _lib()

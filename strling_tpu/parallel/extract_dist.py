@@ -11,11 +11,12 @@ allgather of "spilled" treads followed by a deterministic cross-shard
 pairing pass that replays the reference's mate logic
 (extract.nim:192-248) on each process identically.
 
-Output equivalence vs single-process extract: the tread MULTISET is
-identical (pairing decisions are the reference's, applied once per pair);
-the within-bin order differs (stream order per shard + exchanged pairs
-last, sorted by qname), which downstream merge/call are insensitive to
-(they re-sort by position).
+Output equivalence vs single-process extract: BYTE-IDENTICAL bins. Every
+tread carries the (segment, record tid, record rank, push slot) key of the
+record whose processing emitted it (extract_engine.cc Tread key fields);
+sequential extract appends treads exactly in that key order, so a stable
+sort of the gathered shard treads (cross-shard pairs keyed by their later
+mate) reproduces the single-process bin, including order.
 """
 
 from __future__ import annotations
@@ -35,23 +36,42 @@ from strling_tpu.utils.options import Options
 ROW_BYTES = TREAD_DTYPE.itemsize
 
 
-def _pack_batch(tb: TreadBatch) -> bytes:
-    """TreadBatch -> bytes blob (fixed rows + NUL-joined qnames)."""
+KEY_DTYPE = np.dtype([("seg", np.uint8), ("ktid", np.int32),
+                      ("krank", np.int64), ("ksub", np.uint8)])
+
+
+def _keys_struct(keys) -> np.ndarray:
+    seg, ktid, krank, ksub = keys
+    out = np.zeros(len(seg), KEY_DTYPE)
+    out["seg"] = seg
+    out["ktid"] = ktid
+    out["krank"] = krank
+    out["ksub"] = ksub
+    return out
+
+
+def _pack_batch(tb: TreadBatch, keys: np.ndarray) -> bytes:
+    """(TreadBatch, keys) -> bytes blob (fixed rows + keys + qnames)."""
     rows = np.ascontiguousarray(tb.data).tobytes()
+    kb = np.ascontiguousarray(keys).tobytes()
     qn = "\x00".join(tb.qnames).encode()
     head = np.array([len(tb.data), len(qn)], np.int64).tobytes()
-    return head + rows + qn
+    return head + rows + kb + qn
 
 
-def _unpack_batch(blob: bytes) -> TreadBatch:
+def _unpack_batch(blob: bytes) -> tuple[TreadBatch, np.ndarray]:
     n, qlen = np.frombuffer(blob[:16], np.int64)
     n, qlen = int(n), int(qlen)
     rows = np.frombuffer(
         blob[16:16 + n * ROW_BYTES], TREAD_DTYPE
     ).copy()
-    qblob = blob[16 + n * ROW_BYTES: 16 + n * ROW_BYTES + qlen]
+    koff = 16 + n * ROW_BYTES
+    keys = np.frombuffer(blob[koff:koff + n * KEY_DTYPE.itemsize],
+                         KEY_DTYPE).copy()
+    qblob = blob[koff + n * KEY_DTYPE.itemsize:
+                 koff + n * KEY_DTYPE.itemsize + qlen]
     qnames = qblob.decode().split("\x00") if n else []
-    return TreadBatch(data=rows, qnames=qnames)
+    return TreadBatch(data=rows, qnames=qnames), keys
 
 
 def _allgather_blobs(blob: bytes) -> list[bytes]:
@@ -76,15 +96,19 @@ def _allgather_blobs(blob: bytes) -> list[bytes]:
     return [bytes(blobs[p, :lens[p]]) for p in range(nproc)]
 
 
-def pair_spills(spills: list[TreadBatch], opts: Options) -> list[Tread]:
+def pair_spills(spills: list[tuple[TreadBatch, np.ndarray]],
+                opts: Options) -> tuple[list[Tread], np.ndarray]:
     """Deterministic cross-shard mate pairing (the reference's pairing
     sequence, extract.nim:199-231, applied to the spilled treads; qnames
-    processed in sorted order on every process identically)."""
-    groups: dict[str, list[Tread]] = {}
-    for tb in spills:
-        for t in tb.to_treads():
-            groups.setdefault(t.qname, []).append(t)
+    processed in sorted order on every process identically). Returns the
+    emitted treads plus their emission keys: the later mate's record key
+    with push slots 2/3, exactly as the sequential feed assigns them."""
+    groups: dict[str, list[tuple[Tread, np.void]]] = {}
+    for tb, keys in spills:
+        for i, t in enumerate(tb.to_treads()):
+            groups.setdefault(t.qname, []).append((t, keys[i]))
     out: list[Tread] = []
+    out_keys: list[tuple] = []
     for qname in sorted(groups):
         g = groups[qname]
         if len(g) != 2:
@@ -95,10 +119,13 @@ def pair_spills(spills: list[TreadBatch], opts: Options) -> list[Tread]:
                     file=sys.stderr,
                 )
             continue
-        a, b = g
-        # the "after mate" side is the one later in file order; cross-shard
-        # pairs always differ in tid (same-tid pairs resolve in-shard)
-        tr, mate = (a, b) if a.tid > b.tid else (b, a)
+        (a, ka), (b, kb) = g
+        # the "after mate" side is the one later in stream order (its
+        # emission-key is larger); cross-shard pairs always differ in tid
+        later_a = (int(ka["seg"]), int(ka["ktid"]), int(ka["krank"])) > (
+            int(kb["seg"]), int(kb["ktid"]), int(kb["krank"]))
+        (tr, kt), (mate, km) = ((a, ka), (b, kb)) if later_a else ((b, kb), (a, ka))
+        ek = (int(kt["seg"]), int(kt["ktid"]), int(kt["krank"]))
         if mate.repeat_count == 0 and tr.repeat_count == 0:
             continue
         if unplaced_pair(tr, mate, opts):
@@ -111,14 +138,21 @@ def pair_spills(spills: list[TreadBatch], opts: Options) -> list[Tread]:
             mate.position = 0
             mate.tid = -1
             out.append(tr)
+            out_keys.append(ek + (2,))
             out.append(mate)
+            out_keys.append(ek + (3,))
             continue
         mp = mate.position
         if adjust_by(mate, tr, opts, tr.position):
             out.append(mate)
+            out_keys.append(ek + (2,))
         if adjust_by(tr, mate, opts, mp):
             out.append(tr)
-    return out
+            out_keys.append(ek + (3,))
+    karr = np.zeros(len(out_keys), KEY_DTYPE)
+    for i, (s, t, r, u) in enumerate(out_keys):
+        karr[i] = (s, t, r, u)
+    return out, karr
 
 
 def run_extract_dist(bam_path: str, fasta: str | None = None,
@@ -159,23 +193,31 @@ def run_extract_dist(bam_path: str, fasta: str | None = None,
     if verbose:
         print(f"[strling p{pid}] extracting tids {my_tids}", file=sys.stderr)
     tb_local = ne.run(backend=backend)
+    keys_local = _keys_struct(ne.emission_keys(0))
     sp_local = ne.spill()
+    sp_keys = _keys_struct(ne.emission_keys(1))
 
-    spill_blobs = _allgather_blobs(_pack_batch(sp_local))
+    spill_blobs = _allgather_blobs(_pack_batch(sp_local, sp_keys))
     spills = [_unpack_batch(b) for b in spill_blobs]
-    extra = pair_spills(spills, opts)
+    extra, extra_keys = pair_spills(spills, opts)
 
-    local_blobs = _allgather_blobs(_pack_batch(tb_local))
+    local_blobs = _allgather_blobs(_pack_batch(tb_local, keys_local))
     parts = [_unpack_batch(b) for b in local_blobs]
     all_data = np.concatenate(
-        [p.data for p in parts]
+        [p.data for p, _ in parts]
         + [TreadBatch.from_treads(extra).data]
     )
+    all_keys = np.concatenate([k for _, k in parts] + [extra_keys])
     all_qnames: list[str] = []
-    for p in parts:
+    for p, _ in parts:
         all_qnames.extend(p.qnames)
     all_qnames.extend(t.qname for t in extra)
-    tb = TreadBatch(data=all_data, qnames=all_qnames)
+    # stable sort by emission key == the sequential append order, so the
+    # sharded bin is byte-identical to single-process extract's
+    order = np.lexsort((all_keys["ksub"], all_keys["krank"],
+                        all_keys["ktid"], all_keys["seg"]))
+    tb = TreadBatch(data=all_data[order],
+                    qnames=[all_qnames[i] for i in order])
 
     if output_bin and pid == 0:
         from strling_tpu.io.binfmt import write_bin

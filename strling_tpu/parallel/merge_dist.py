@@ -129,6 +129,40 @@ def _reshard_fn(mesh: Mesh):
     )
 
 
+def _alltoall_fn(mesh: Mesh):
+    def step(buf):
+        recv = jax.lax.all_to_all(buf[0], "d", split_axis=0, concat_axis=0)
+        return recv[None]
+
+    return jax.jit(
+        jax.shard_map(
+            step, mesh=mesh,
+            in_specs=P("d", None, None, None),
+            out_specs=P("d", None, None, None),
+            check_vma=False,
+        )
+    )
+
+
+def _psum_fn(mesh: Mesh):
+    def step(frag):
+        return jax.lax.psum(frag[0], "d")
+
+    return jax.jit(
+        jax.shard_map(step, mesh=mesh, in_specs=P("d", None), out_specs=P(),
+                      check_vma=False)
+    )
+
+
+#: per-round exchange buffer budget. The all_to_all pads every (src, dst)
+#: bucket to the round capacity, so a skewed cohort (one dominant repeat
+#: unit hashing to one shard) would otherwise allocate O(S^2 * cmax) — up
+#: to S x the actual data (the reference's whole-cohort-in-RAM merge has
+#: the same worst case against its 120GB budget, bpipe.config:16-18).
+#: Chunked rounds bound memory at O(S^2 * C_ROUND) regardless of skew.
+EXCHANGE_BUDGET_BYTES = 64 << 20
+
+
 def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
                    min_support: int = 5, chromosome: str | None = None,
                    min_clip: int = 0, min_clip_total: int = 0,
@@ -189,7 +223,9 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
     counts_global = counts_global.reshape(S, S)  # [src_dev, dst_dev]
     cmax = max(1, int(counts_global.max()))
 
-    buf_local = np.zeros((n_local, S, cmax, PACK_W), np.int32)
+    # per-source-device buckets, sorted by destination (order preserved
+    # within a destination, so chunked rounds concatenate back losslessly)
+    bucket_rows: list[list[np.ndarray]] = []
     for sl in range(n_local):
         m = src_local == sl
         psl, dsl = packed[m], dest[m]
@@ -197,18 +233,39 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
         psl, dsl = psl[order], dsl[order]
         starts = np.searchsorted(dsl, np.arange(S))
         ends = np.searchsorted(dsl, np.arange(S) + 1)
-        for s in range(S):
-            k = ends[s] - starts[s]
-            if k:
-                buf_local[sl, s, :k] = psl[starts[s]:ends[s]]
+        bucket_rows.append([psl[starts[s]:ends[s]] for s in range(S)])
 
     frag_dev = np.zeros((n_local, 4096), np.int64)
     frag_dev[0] = frag_local.astype(np.int64)
-
-    step = _reshard_fn(mesh)
-    frag_g, recv_g = step(_to_global(frag_dev, mesh),
-                          _to_global(buf_local, mesh))
+    frag_g = _psum_fn(mesh)(_to_global(frag_dev, mesh))
     frag32 = np.asarray(jax.device_get(frag_g)).astype(np.uint32)
+
+    # chunked all_to_all: the round capacity bounds the padded buffer at
+    # EXCHANGE_BUDGET_BYTES however skewed the (src, dst) counts are;
+    # each round moves rows [r*C, (r+1)*C) of every bucket
+    C = max(1, EXCHANGE_BUDGET_BYTES // max(1, n_local * S * PACK_W * 4))
+    n_rounds = (cmax + C - 1) // C
+    exchange = _alltoall_fn(mesh)
+    recv_parts: dict[int, list[list[np.ndarray]]] = {}
+    for rnd in range(n_rounds):
+        lo = rnd * C
+        buf_local = np.zeros((n_local, S, C, PACK_W), np.int32)
+        for sl in range(n_local):
+            for s in range(S):
+                part = bucket_rows[sl][s][lo: lo + C]
+                if len(part):
+                    buf_local[sl, s, : len(part)] = part
+        recv_g = exchange(_to_global(buf_local, mesh))
+        for shard in recv_g.addressable_shards:
+            dev_idx = shard.index[0].start or 0
+            arr = np.asarray(shard.data)[0]  # [S, C, W]
+            dst_parts = recv_parts.setdefault(
+                dev_idx, [[] for _ in range(S)])
+            for s in range(S):
+                have = int(counts_global[s, dev_idx])
+                k = min(max(0, have - lo), C)
+                if k:
+                    dst_parts[s].append(arr[s, :k])
 
     # --- per-shard host clustering (each process handles its local devices) -
     opts = Options(median_fragment_length=fraglen.median(frag32, 0.98),
@@ -222,10 +279,9 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
         loci = parse_bed(bed, targets, window, tid=requested_tid)
 
     local_bounds: list[tuple] = []  # (sort_key, line)
-    for shard in recv_g.addressable_shards:
-        dev_idx = shard.index[0].start or 0  # global device id for this shard
-        arr = np.asarray(shard.data)[0]  # [S, cmax, W]
-        parts = [arr[s, :counts_global[s, dev_idx]] for s in range(S)]
+    for dev_idx in sorted(recv_parts):
+        dst_parts = recv_parts[dev_idx]
+        parts = [np.concatenate(p) for p in dst_parts if p]
         got = np.concatenate(parts) if parts else np.zeros((0, PACK_W), np.int32)
         sdata = unpack_treads(got)
         tb = TreadBatch(data=sdata, qnames=sdata["sample"].copy())

@@ -253,3 +253,136 @@ def test_cram31_arith_file_roundtrip(tmp_path):
         assert r.returncode == 0, r.stderr.decode()[-800:]
         outs.append(r.stdout.strip())
     assert outs[0] == outs[1]
+
+
+def test_fqz_store_array_roundtrip():
+    """fqz_store_array <-> csrc fqz_read_array on bucket-map shapes,
+    including 255-run continuations."""
+    from strling_tpu.io.cramwrite import fqz_encode31, fqz_store_array
+
+    tables = [
+        [min(i, 15) for i in range(256)],
+        [min(i // 16, 15) for i in range(1024)],
+        [0] * 256,
+        [0] * 300 + [1] * 700 + [2] * 24,   # >255 runs
+        list(range(256)),                   # identity
+        [5] * 1024,                         # single value, long run
+    ]
+    # exercised through full streams: a qtab/ptab table pair per stream
+    rng = np.random.default_rng(0)
+    for t in tables:
+        recs = [bytes(rng.integers(33, 43, 60).astype(np.uint8))
+                for _ in range(8)]
+        qt = t[:256] if len(t) >= 256 else (t + [t[-1]] * (256 - len(t)))
+        qt = [min(v, 255) for v in qt]
+        pt = (t + [t[-1]] * 1024)[:1024]
+        blob = fqz_encode31(recs, [dict(qtab=qt, ptab=pt, qbits=5,
+                                        qshift=2)])
+        want = b"".join(recs)
+        assert native_fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_multi_param_selector():
+    """gflags 1|2: two parameter sets, explicit selector table, selector
+    mixed into the context (do_sel) for one of them."""
+    from strling_tpu.io.cramwrite import fqz_encode31
+
+    rng = np.random.default_rng(1)
+    recs, sels = [], []
+    for i in range(40):
+        if i % 3 == 0:
+            recs.append(bytes([40] * 80))       # flat qual -> param 1
+            sels.append(1)
+        else:
+            recs.append(bytes(rng.integers(33, 73, 80).astype(np.uint8)))
+            sels.append(0)
+    params = [
+        dict(qbits=8, qshift=5, qloc=7, ploc=0, dloc=13, do_sel=True,
+             sloc=0),
+        dict(qbits=2, qshift=1, qloc=7, ploc=0, dloc=13, context=0x1234),
+    ]
+    stab = [0, 1] + [1] * 254
+    blob = fqz_encode31(recs, params, selectors=sels, stab=stab)
+    assert blob[1] & 3 == 3  # MULTI_PARAM | HAVE_STAB
+    want = b"".join(recs)
+    assert native_fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_reverse_records():
+    """gflag 4: flagged records are stored reversed; the decoder must
+    un-reverse them."""
+    from strling_tpu.io.cramwrite import fqz_encode31
+
+    rng = np.random.default_rng(2)
+    recs = [bytes(np.sort(rng.integers(33, 73, 50)).astype(np.uint8))
+            for _ in range(30)]
+    rev = [i % 2 == 1 for i in range(30)]
+    blob = fqz_encode31(recs, [dict()], reverse=rev)
+    assert blob[1] & 4
+    want = b"".join(recs)
+    assert native_fqz_decode(blob, len(want)) == want
+
+
+def test_fqz_all_shapes_combined():
+    """multi-param + stab + do_sel + reverse + dedup + variable lengths."""
+    from strling_tpu.io.cramwrite import fqz_encode31
+
+    rng = np.random.default_rng(3)
+    recs, sels, rev = [], [], []
+    for i in range(60):
+        L = int(rng.integers(20, 120))
+        if i % 4 == 0 and recs:
+            recs.append(recs[-1])  # dedup candidates (same param + length)
+            sels.append(sels[-1])
+        else:
+            recs.append(bytes(rng.integers(33, 63, L).astype(np.uint8)))
+            sels.append(int(rng.integers(0, 3)))
+        rev.append(bool(rng.integers(0, 2)))
+    params = [
+        dict(do_dedup=True, do_sel=True, sloc=14,
+             qtab=[min(i, 31) for i in range(256)]),
+        dict(qbits=4, qshift=2, context=7,
+             ptab=[min(i // 32, 15) for i in range(1024)]),
+    ]
+    stab = [0, 0, 1] + [1] * 253
+    blob = fqz_encode31(recs, params, selectors=sels, stab=stab, reverse=rev)
+    want = b"".join(recs)
+    assert native_fqz_decode(blob, len(want)) == want
+
+
+def native_nx16_decode(blob: bytes, out_sz: int) -> bytes:
+    lib = _load()
+    out = np.zeros(max(1, out_sz), np.uint8)
+    n = lib.sio_rans_nx16_decode(blob, len(blob), out_sz, out, len(out))
+    assert n == out_sz, f"nx16 decode returned {n}, want {out_sz}"
+    return bytes(out[:out_sz])
+
+
+def test_hand_authored_nx16_fixtures():
+    """Hand-constructed rANSNx16 streams (not produced by our encoder):
+    independent ground truth for the container framing per the CRAM 3.1
+    codecs spec. CAT (flag 32) = [flags, uint7 len, raw bytes]; PACK
+    (flag 128) on top maps 2 symbols to 1 bit each, 8 per packed byte."""
+    # CAT: flags=0x20, len=5 (uint7), payload verbatim
+    blob = bytes([0x20, 5]) + b"HELLO"
+    assert native_nx16_decode(blob, 5) == b"HELLO"
+    # CAT + NOSZ (flag 16): no in-band length
+    blob = bytes([0x30]) + b"ABC"
+    assert native_nx16_decode(blob, 3) == b"ABC"
+    # PACK+CAT: 2 symbols {65,67}, 8 x 1-bit per byte. Packed stream of
+    # len 2 unpacks to 16: bits LSB-first select P[0]/P[1].
+    # byte 0b01010101 -> A C A C A C A C (LSB first: 1,0,1,0.. -> C A C A..)
+    packed = bytes([0b01010101, 0b00001111])
+    blob = bytes([0xA0, 16,  # flags PACK|CAT, ulen=16 (post-unpack)
+                  2, 65, 67,  # nsym, symbol table
+                  2]) + packed  # packed byte count (uint7), then CAT bytes
+    want = b"CACACACA" + b"CCCCAAAA"
+    assert native_nx16_decode(blob, 16) == want
+
+
+def test_hand_authored_uint7_multibyte():
+    """uint7 length encoding: 7 bits per byte, high bit = continuation
+    (ITF8-style big-endian order per the spec)."""
+    payload = bytes([7] * 200)
+    blob = bytes([0x20, 0x81, 0x48]) + payload  # 200 = 0x81 0x48 in uint7
+    assert native_nx16_decode(blob, 200) == payload

@@ -103,7 +103,10 @@ def _multiset(treads):
 
 def _sharded_in_process(bam_path, shards):
     """Run N sharded engines in one process and combine like
-    run_extract_dist (shards = list of tid lists; first owns no-coor)."""
+    run_extract_dist (shards = list of tid lists; first owns no-coor),
+    including the emission-key sort that reproduces sequential order."""
+    from strling_tpu.parallel.extract_dist import _keys_struct
+
     frag = native_frag_hist(Bam(bam_path))
     med = fraglen.median(frag)
     opts = Options(median_fragment_length=med, proportion_repeat=0.8,
@@ -112,17 +115,22 @@ def _sharded_in_process(bam_path, shards):
     for si, tids in enumerate(shards):
         ne = NativeExtractor(Bam(bam_path), 0.8, 40, med)
         ne.set_shard(tids, include_unplaced=(si == 0))
-        parts.append(ne.run())
-        spills.append(ne.spill())
-    extra = pair_spills(spills, opts)
-    combined = [t for p in parts for t in p.to_treads()] + extra
-    return combined
+        parts.append((ne.run(), _keys_struct(ne.emission_keys(0))))
+        spills.append((ne.spill(), _keys_struct(ne.emission_keys(1))))
+    extra, extra_keys = pair_spills(spills, opts)
+    combined = [t for p, _ in parts for t in p.to_treads()] + extra
+    keys = np.concatenate([k for _, k in parts] + [extra_keys])
+    order = np.lexsort((keys["ksub"], keys["krank"], keys["ktid"],
+                        keys["seg"]))
+    return [combined[i] for i in order]
 
 
 def test_sharded_equals_single(dist_bam):
     tb_single, _, _ = extract_native(Bam(dist_bam), None, None)
     combined = _sharded_in_process(dist_bam, [[0], [1]])
-    assert _multiset(combined) == _multiset(tb_single.to_treads())
+    # emission-key sort makes the order EXACTLY the sequential order
+    assert [_key(t) for t in combined] == [
+        _key(t) for t in tb_single.to_treads()]
     # the cross-chrom evidence must actually be present
     qnames = {t.qname for t in combined}
     assert {"x1", "x2", "x4", "loc1", "unp1"} <= qnames
@@ -131,13 +139,15 @@ def test_sharded_equals_single(dist_bam):
 def test_sharded_one_shard_owns_all(dist_bam):
     tb_single, _, _ = extract_native(Bam(dist_bam), None, None)
     combined = _sharded_in_process(dist_bam, [[0, 1]])
-    assert _multiset(combined) == _multiset(tb_single.to_treads())
+    assert [_key(t) for t in combined] == [
+        _key(t) for t in tb_single.to_treads()]
 
 
 def test_sharded_three_way_with_empty_shard(dist_bam):
     tb_single, _, _ = extract_native(Bam(dist_bam), None, None)
     combined = _sharded_in_process(dist_bam, [[0], [1], []])
-    assert _multiset(combined) == _multiset(tb_single.to_treads())
+    assert [_key(t) for t in combined] == [
+        _key(t) for t in tb_single.to_treads()]
 
 
 def test_multi_device_round_robin_identical(dist_bam):
@@ -192,7 +202,11 @@ def test_two_process_distributed_extract(dist_bam, tmp_path):
 
     got = read_bin(out_bin)
     tb_single, frag_single, _ = extract_native(Bam(dist_bam), None, None)
-    assert _multiset(got.reads.to_treads()) == _multiset(
-        tb_single.to_treads()
-    )
     np.testing.assert_array_equal(got.fragment_distribution, frag_single)
+    # all extract modes now produce byte-identical bin artifacts
+    from strling_tpu.io.binfmt import write_bin
+
+    single_bin = str(tmp_path / "single.bin")
+    write_bin(single_bin, tb_single, frag_single,
+              Bam(dist_bam).header_text, 0.8, 40)
+    assert open(out_bin, "rb").read() == open(single_bin, "rb").read()

@@ -147,3 +147,47 @@ def test_multi_process_matches_run_merge(bins_dir, tmp_path):
     _, want = _read_lines(str(d / "ref_merge2-bounds.txt"))
     _, got = _read_lines(out_prefix + "-bounds.txt")
     assert got == want
+
+
+def test_skewed_cohort_chunked_exchange(tmp_path):
+    """Adversarial skew: every tread is the same (tid, unit), so the whole
+    cohort routes to ONE shard. The chunked exchange must stay within its
+    per-round budget (memory O(S^2 * C_ROUND), not O(S^2 * cmax)) and still
+    produce bounds byte-identical to single-process run_merge."""
+    import strling_tpu.parallel.merge_dist as MD
+    from strling_tpu.core.tread import Soft, TreadBatch
+    from strling_tpu.io.binfmt import write_bin
+
+    rng = np.random.default_rng(8)
+    header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:1000000\n"
+    n_per = 4000
+    bins = []
+    hist = np.zeros(4096, np.uint32)
+    hist[400] = 1000
+    for smp in range(4):
+        data = np.zeros(n_per, TREAD_DTYPE)
+        data["tid"] = 0
+        base = 500_000
+        data["position"] = np.sort(rng.integers(base, base + 50, n_per)).astype(np.uint32)
+        data["repeat"] = b"CAG"
+        data["flag"] = 0
+        data["split"] = int(Soft.none)
+        data["mapping_quality"] = 60
+        data["repeat_count"] = 30
+        data["align_length"] = 150
+        tb = TreadBatch(data=data, qnames=[f"s{smp}r{i}" for i in range(n_per)])
+        p = str(tmp_path / f"skew{smp}.bin")
+        write_bin(p, tb, hist, header, 0.8, 40)
+        bins.append(p)
+    # force many rounds: shrink the per-round budget so cmax >> C
+    old = MD.EXCHANGE_BUDGET_BYTES
+    MD.EXCHANGE_BUDGET_BYTES = 64 << 10  # 64KB -> C of a few hundred rows
+    try:
+        lines = run_merge_dist(bins, output_prefix=str(tmp_path / "dist"))
+    finally:
+        MD.EXCHANGE_BUDGET_BYTES = old
+    run_merge(bins, output_prefix=str(tmp_path / "ref"))
+    _, want = _read_lines(str(tmp_path / "ref-bounds.txt"))
+    _, got = _read_lines(str(tmp_path / "dist-bounds.txt"))
+    assert got == want and lines == want
+    assert len(want) >= 1
