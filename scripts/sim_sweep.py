@@ -140,15 +140,33 @@ def _write_csv(rows, out_dir):
     print(f"[sweep] wrote {out_csv} ({len(rows)} rows)", file=sys.stderr)
 
 
-def _genome_with_locus(out_dir, rng, unit, ref_units, glen=60_000):
-    """Synthetic genome with `ref_units` copies of `unit` planted mid-chrom."""
+def _genome_with_locus(out_dir, rng, unit, ref_units, glen=60_000,
+                       n_decoys=0, decoy_units=15):
+    """Synthetic genome with `ref_units` copies of `unit` planted mid-chrom.
+    With n_decoys, also plants same-unit decoy repeat runs on a SECOND
+    chromosome — the other genomic STR sites bwa mismaps pure-repeat reads
+    to (simulate_reads.nim:178-179 gets these from real bwa)."""
     pos = glen // 2
     g = _rand_genome(rng, glen)
     g = g[:pos] + unit * ref_units + g[pos:]
     fa = os.path.join(out_dir, "ref.fa")
-    write_fasta(fa, {"chr1": g})
+    chroms = {"chr1": g}
+    decoys = []
+    if n_decoys:
+        g2 = _rand_genome(rng, glen)
+        step = glen // (n_decoys + 1)
+        placed = []
+        off = 0
+        for di in range(n_decoys):
+            dpos = (di + 1) * step
+            placed.append(dpos + off)
+            g2 = g2[: dpos + off] + unit * decoy_units + g2[dpos + off:]
+            off += len(unit) * decoy_units
+        chroms["chr2"] = g2
+        decoys = [("chr2", dp) for dp in placed]
+    write_fasta(fa, chroms)
     build_fai(fa, fa + ".fai")
-    return fa, "chr1", pos
+    return fa, "chr1", pos, {unit: decoys}
 
 
 def run_random(args):
@@ -157,7 +175,9 @@ def run_random(args):
     hist = normal_hist(400, 60)
     # reference: one locus, CAG, allele1 fixed 0, allele2 uniform 0..600
     # (random_str_alleles.py --min 0 --max 600 --fixed 0)
-    fa, chrom, pos = _genome_with_locus(args.out, rng, args.unit, 10)
+    fa, chrom, pos, decoys = _genome_with_locus(
+        args.out, rng, args.unit, 10,
+        n_decoys=3 if args.mismap > 0 else 0)
     truth = []
     bins = []
     for s in range(args.n_samples):
@@ -168,6 +188,8 @@ def run_random(args):
             fa, [Allele(chrom, pos, (args.fixed, a2), args.unit)], bam_path,
             hist, depth=args.depth, flank=args.flank,
             seed=int(rng.integers(0, 1 << 31)),
+            decoys=decoys if args.mismap > 0 else None,
+            mismap_rate=args.mismap,
         )
         bam = Bam(bam_path)
         treads, frag_dist, _ = extract(bam, None, None)
@@ -212,12 +234,16 @@ def run_disease(args):
         # |a| units and still leave sequence (the real disease loci carry
         # reference repeat runs)
         ref_units = max(5, -a1 + 5, -a2 + 5, 30)
-        fa, chrom, pos = _genome_with_locus(d, rng, unit, ref_units)
+        fa, chrom, pos, decoys = _genome_with_locus(
+            d, rng, unit, ref_units,
+            n_decoys=3 if args.mismap > 0 else 0)
         bam_path = os.path.join(d, "s.bam")
         simulate_str_bam(
             fa, [Allele(chrom, pos, (a1, a2), unit)], bam_path, hist,
             depth=args.depth, flank=args.flank,
             seed=int(rng.integers(0, 1 << 31)),
+            decoys=decoys if args.mismap > 0 else None,
+            mismap_rate=args.mismap,
         )
         bam = Bam(bam_path)
         treads, frag_dist, _ = extract(bam, None, None)
@@ -255,6 +281,10 @@ def main():
     pr.add_argument("--depth", type=int, default=30)
     pr.add_argument("--flank", type=int, default=10_000)
     pr.add_argument("--seed", type=int, default=7)
+    pr.add_argument("--mismap", type=float, default=0.0,
+                    help="probability a mismapped pure-STR read lands at a "
+                         "same-unit decoy locus instead of the event "
+                         "(emulates bwa multi-mapping; 0 = idealized)")
     pr.set_defaults(fn=run_random)
 
     pd = sub.add_parser("disease", help="22 reference disease-locus configs")
@@ -262,6 +292,8 @@ def main():
     pd.add_argument("--depth", type=int, default=30)
     pd.add_argument("--flank", type=int, default=10_000)
     pd.add_argument("--seed", type=int, default=11)
+    pd.add_argument("--mismap", type=float, default=0.0,
+                    help="see `random --mismap`")
     pd.set_defaults(fn=run_disease)
 
     args = p.parse_args()

@@ -12,6 +12,15 @@ insertion/deletion, emulating how an aligner represents them:
 - reads mostly/entirely inside a large insertion: mapped at the locus with
   full-length M and mapq 0 (a mismapped pure-STR read, as bwa produces)
 - reads straddling a deletion: nM<R>DmM
+
+Mismapping realism (`decoys` + `mismap_rate`): bwa does not leave pure-STR
+reads at the event — it multi-maps them to OTHER same-unit repeat sites in
+the genome at mapq 0 (the hard case STRling's mate-rescue exists for,
+README.md:9; the reference gets these from real bwa, simulate_reads.nim:
+178-179). With decoys provided, each mismapped read is placed at a random
+same-unit decoy site (possibly another chromosome) with full-length M and
+mapq 0; its anchored mate's mate-position then points at the decoy — the
+wrong-mate placement adjust_by must see through (extract.nim:141-179).
 """
 
 from __future__ import annotations
@@ -117,7 +126,9 @@ def _align_back(s: int, e: int, off: int, delta: int, rl: int):
 
 def simulate_allele(fai: Fasta, allele: Allele, frag_hist: np.ndarray,
                     flank: int, depth: int, read_length: int, rng,
-                    records: list[BamRecord], tid: int, ref_start: int):
+                    records: list[BamRecord], tid: int, ref_start: int,
+                    decoy_sites: list[tuple[int, int]] | None = None,
+                    mismap_rate: float = 0.0):
     """simulate_reads.nim:30-99, emitting aligned records instead of FASTQ."""
     win_start = max(0, allele.position - flank)
     reference = fai.get(
@@ -199,29 +210,47 @@ def simulate_allele(fai: Fasta, allele: Allele, frag_hist: np.ndarray,
 
         a1 = _align_back(r1s, r1s + read_length, off, delta, read_length)
         a2 = _align_back(r2s, r2s + read_length, off, delta, read_length)
-        # mismapped pure-STR reads: place at the event with mapq 0
+        # mismapped pure-STR reads: bwa multi-maps them to some same-unit
+        # repeat site at mapq 0 — a random decoy when provided, else the
+        # event itself
         mis1 = a1 is None
         mis2 = a2 is None
+
+        def place_mismapped():
+            if decoy_sites and float(rng.random()) < mismap_rate:
+                dtid, dpos = decoy_sites[int(rng.integers(len(decoy_sites)))]
+                return dtid, dpos, f"{read_length}M", 0
+            return tid, off + ref_start, f"{read_length}M", 0
+
         if mis1:
-            a1 = (off, f"{read_length}M", 0)
+            t1, p1, c1, q1 = place_mismapped()
+        else:
+            p1, c1, q1 = a1
+            p1 += ref_start
+            t1 = tid
         if mis2:
-            a2 = (off, f"{read_length}M", 0)
-        p1, c1, q1 = a1
-        p2, c2, q2 = a2
-        p1 += ref_start
-        p2 += ref_start
+            t2, p2, c2, q2 = place_mismapped()
+        else:
+            p2, c2, q2 = a2
+            p2 += ref_start
+            t2 = tid
         proper = 0x2 if (not mis1 and not mis2) else 0
-        isize = (p2 + read_length) - p1
+        isize = ((p2 + read_length) - p1) if t1 == t2 else 0
         f1 = 0x1 | proper | 0x20 | 0x40  # paired, mate-reverse, read1
         f2 = 0x1 | proper | 0x10 | 0x80  # paired, reverse, read2
-        records.append(BamRecord(qname, f1, tid, p1, q1, c1, tid, p2, isize, r1))
-        records.append(BamRecord(qname, f2, tid, p2, q2, c2, tid, p1, -isize, r2))
+        records.append(BamRecord(qname, f1, t1, p1, q1, c1, t2, p2, isize, r1))
+        records.append(BamRecord(qname, f2, t2, p2, q2, c2, t1, p1, -isize, r2))
 
 
 def simulate_str_bam(fasta: str, alleles: list[Allele], out_bam: str,
                      frag_hist: np.ndarray, depth: int = 30, flank: int = 20000,
                      read_length: int = 150, seed: int = 42,
-                     fastq_prefix: str | None = None):
+                     fastq_prefix: str | None = None,
+                     decoys: dict[str, list[tuple[str, int]]] | None = None,
+                     mismap_rate: float = 0.0):
+    """decoys: repeat unit -> [(chrom, pos)] same-unit genomic STR sites
+    (e.g. from the genome index) where mismapped pure-STR reads land with
+    probability mismap_rate."""
     fai = Fasta(fasta)
     rng = np.random.default_rng(seed)
     targets = [(name, fai.chrom_len(name)) for name in fai.names]
@@ -229,9 +258,16 @@ def simulate_str_bam(fasta: str, alleles: list[Allele], out_bam: str,
     records: list[BamRecord] = []
     for allele in alleles:
         ref_start = max(0, allele.position - flank)
+        decoy_sites = None
+        if decoys:
+            decoy_sites = [
+                (tid_of[c], p) for c, p in decoys.get(allele.repeat_unit, [])
+                if c in tid_of
+            ] or None
         simulate_allele(
             fai, allele, frag_hist, flank, depth, read_length, rng, records,
-            tid_of[allele.chrom], ref_start,
+            tid_of[allele.chrom], ref_start, decoy_sites=decoy_sites,
+            mismap_rate=mismap_rate,
         )
     if fastq_prefix:
         # reference-style paired FASTQ output (simulate_reads.nim:92-99), for

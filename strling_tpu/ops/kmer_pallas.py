@@ -28,7 +28,13 @@ NEG = -1
 
 
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
-            match_s, tot_s, aft_s):
+            match_s, tot_s, aft_s, variant="full"):
+    """variant toggles exist ONLY for the stage-attribution experiment
+    (scripts/exp_kernel_timing.py): "full" (production), "no_greedy" (exact
+    recount replaced by the modal estimate), "no_modal" (modal replaced by
+    the first valid window code), "winmin_only" (neither)."""
+    do_modal = variant in ("full", "no_greedy")
+    do_greedy = variant in ("full", "no_modal")
     L, TB = bases_ref.shape
     TBH = TB // 2
     basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
@@ -98,7 +104,14 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         # comes earliest (same semantics as the reference's running
         # CountTable argmax; cross-validated in tests/test_kmer*.py).
         widx = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
-        if k == 2:
+        if not do_modal:
+            # first valid window code stands in for the modal code
+            jfirst = jnp.min(jnp.where(validw, widx, W), axis=0, keepdims=True)
+            modal = jnp.max(jnp.where(validw & (widx == jfirst), wmin, NEG),
+                            axis=0, keepdims=True)
+            kcount = validw.astype(jnp.int32).sum(axis=0, keepdims=True)
+            kcount = jnp.where(modal >= 0, kcount, 0)
+        elif k == 2:
             # by value: only 16 possible window codes, so count each code
             # directly instead of the O(W^2) pairwise loop
             M = jnp.zeros((1, TB), jnp.int32)
@@ -166,6 +179,10 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
             kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
         # decode: modal == -1 behaves as all-ones bits ("G"*k, utils.nim:197)
         modal_eff = jnp.where(modal < 0, (1 << (2 * k)) - 1, modal)
+
+        if not do_greedy:
+            per_k.append((kcount, kcount, modal_eff))
+            continue
 
         # --- exact non-overlapping recount (utils.nim:254) -----------------
         # match[j] <=> the modal kmer occurs at bases[j..j+k). One 3-bit
@@ -268,16 +285,20 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
 
 def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
                             te: jnp.ndarray, tp: jnp.ndarray,
-                            interpret: bool = False):
+                            interpret: bool = False, variant: str = "full"):
     """bases_T: [L, B] uint8 (position-major); lengths [B]; te/tp [5, B].
 
     Returns (unit_code [B] i32 base-4, unit_len [B] i32, count [B] i32).
+    `variant` != "full" builds stage-disabled kernels for the attribution
+    experiment only (scripts/exp_kernel_timing.py).
     """
+    from functools import partial as _partial
+
     L, B = bases_T.shape
     assert B % TILE_B == 0, B
     grid = (B // TILE_B,)
     out = pl.pallas_call(
-        _kernel,
+        _partial(_kernel, variant=variant) if variant != "full" else _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((L, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -313,7 +334,7 @@ MAX_TILES = 32
 
 
 def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
-                             interpret: bool = False):
+                             interpret: bool = False, variant: str = "full"):
     """Drop-in for ops.kmer.get_repeat_device (same [B, L] inputs), returning
     packed codes instead of ASCII: (unit_code, unit_len, count)."""
     B, L = bases.shape
@@ -332,6 +353,7 @@ def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
             bases[s:e].T, lengths[s:e],
             thresh_early[s:e].T.astype(jnp.int32),
             thresh_prop[s:e].T.astype(jnp.int32), interpret=interpret,
+            variant=variant,
         ))
     code, klen, cnt = (jnp.concatenate([o[i] for o in outs])
                        if len(outs) > 1 else outs[0][i]
