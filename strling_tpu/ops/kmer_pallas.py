@@ -200,43 +200,52 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
             modal3 = modal3 | (digit << (3 * (k - 1 - m)))
         jpos = jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0)
         match = ((gram == modal3) & ((jpos + k) <= lengths)).astype(jnp.int32)
-        mp = (jax.lax.slice(match, (0, 0), (L, TBH))
-              | (jax.lax.slice(match, (0, TBH), (L, TB)) << 16))
-        match_s[:L, :] = mp
-        match_s[L:, :] = jnp.zeros((8, TBH), jnp.int32)
 
-        # Blocked greedy scan: within a block of k consecutive positions at
-        # most ONE match can be taken (taking j advances next_free to j+k,
-        # past the block), and it is the first match >= next_free — so the
-        # L-step sequential scan collapses to ceil(L/k) block steps with the
-        # same result as the reference's linear scan.
-        INF = L + k + 1
+        # Bit-packed blocked greedy: blocks of 4k positions hold at most 4
+        # non-overlapping takes (each take blocks the next k positions), so
+        # the reference's L-step linear scan (utils.nim:254-262) collapses
+        # to ceil(L/4k) sequential steps of pure bit arithmetic. Block b's
+        # match bits pack into one i32 lane via an MXU selection matmul
+        # (weights 2^rel < 2^24 are exact in f32), and the cross-block
+        # "next free position" carry is itself a BIT (at m_last + k - 4k),
+        # so in-step masking is mask = carry_bit - 1 — no per-lane variable
+        # shifts and a single dynamic row read per step (the previous
+        # formulation read k rows and ran ceil(L/k) steps; this is the
+        # dominant kernel stage per scripts/exp_kernel_timing.py).
+        BL = 4 * k
+        W4 = (L + BL - 1) // BL
+        bi4 = jax.lax.broadcasted_iota(jnp.int32, (W4, L), 0)
+        ji4 = jax.lax.broadcasted_iota(jnp.int32, (W4, L), 1)
+        rel4 = ji4 - bi4 * BL
+        in_blk = (rel4 >= 0) & (rel4 < BL)
+        w4 = jnp.where(
+            in_blk, jnp.left_shift(1, jnp.where(in_blk, rel4, 0)), 0
+        ).astype(jnp.float32)
+        bits = jnp.dot(w4, match.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        match_s[:W4, :] = bits
+        low_k = (1 << k) - 1
 
-        def greedy_blocked(b, carry):
-            count, next_free = carry
-            base = b * k
-            jstar = jnp.full((1, TB), INF, jnp.int32)
-            for m in range(k):
-                row = match_s[pl.ds(base + m, 1), :]
-                mj = jnp.concatenate([row & 1, (row >> 16) & 1], axis=1)
-                j = base + m
-                cand = (mj > 0) & (j >= next_free)
-                jstar = jnp.minimum(jstar, jnp.where(cand, j, INF))
-            take = jstar < INF
-            count = count + take.astype(jnp.int32)
-            next_free = jnp.where(take, jstar + k, next_free)
-            return count, next_free
+        def greedy_bits(b, carry_in):
+            count, carry = carry_in
+            row = match_s[pl.ds(b, 1), :]
+            bq = jnp.maximum(carry, 1)  # carry==0 -> no constraint (q=0)
+            avail = row & ~(bq - 1)
+            last = jnp.zeros((1, TB), jnp.int32)
+            for _ in range(4):
+                lsb = avail & (-avail)
+                taken = avail != 0
+                count = count + taken.astype(jnp.int32)
+                last = jnp.where(taken, lsb, last)
+                avail = avail & ~((lsb << k) - lsb)  # clear m..m+k-1
+            carry = (last << k) >> BL  # bit at m_last + k - 4k (0 if none)
+            return count, carry
 
-        exact, nfree = jax.lax.fori_loop(
-            0, L // k, greedy_blocked,
+        exact, _ = jax.lax.fori_loop(
+            0, W4, greedy_bits,
             (jnp.zeros((1, TB), jnp.int32), jnp.zeros((1, TB), jnp.int32)),
         )
-        for j in range((L // k) * k, L):  # tail rows (static)
-            row = match_s[j:j + 1, :]
-            mj = jnp.concatenate([row & 1, (row >> 16) & 1], axis=1)
-            can = (mj > 0) & (j >= nfree)
-            exact = exact + can.astype(jnp.int32)
-            nfree = jnp.where(can, j + k, nfree)
         per_k.append((kcount, exact, modal_eff))
 
     # --- k-selection state machine (utils.nim:243-269) ---------------------
@@ -317,7 +326,7 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
             jax.ShapeDtypeStruct((1, B), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((L + 8, TILE_B // 2), jnp.int32),  # packed match rows
+            pltpu.VMEM((L // 8 + 2, TILE_B), jnp.int32),  # greedy block bits
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne totals
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne-after
         ],
