@@ -240,6 +240,10 @@ def call_main(argv):
 
 def _run_call_cli(a):
     if getattr(a, "distributed", False):
+        if a.debug:
+            raise SystemExit(
+                "--debug evidence files are not supported with "
+                "--distributed; run single-process call for debugging")
         from strling_tpu.parallel.call_dist import run_call_dist
 
         run_call_dist(a.bam, a.bin, a.fasta or None, a.min_support,

@@ -458,14 +458,19 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     print("[strling] collecting str-like reads", file=sys.stderr)
     t0 = time.time()
     Lcap = max(32, ((peek_len + 7) // 8) * 8) if peek_len else None
+    # NativeExtractor caps at min(bam.Lmax, Lcap): the EFFECTIVE width is
+    # what the retry guard must compare against
+    eff_cap = min(bam.Lmax, Lcap) if Lcap else bam.Lmax
     ne, tb = run_once(Lcap)
     frag_dist, max_read_len = hist_fut.result()
     pool.shutdown()
-    if max(ne.max_len_seen, max_read_len) > (Lcap or 256):
+    true_max = max(ne.max_len_seen, max_read_len)
+    if true_max > eff_cap:
         # a read longer than the peeked width appeared: redo with the exact
-        # width so nothing is truncated on the wire
-        bam2 = Bam(bam.path, fasta=getattr(bam, "fasta", None))
-        Lcap = max(32, ((max(ne.max_len_seen, max_read_len) + 7) // 8) * 8)
+        # width (Bam handle constructed wide enough) so nothing is
+        # truncated on the wire
+        Lcap = max(32, ((true_max + 7) // 8) * 8)
+        bam2 = Bam(bam.path, Lmax=Lcap, fasta=getattr(bam, "fasta", None))
         ne, tb = run_once_exact(bam2, Lcap, proportion_repeat, min_mapq,
                                 frag_dist, genome_index, backend, devs, opts)
     if verbose:

@@ -138,14 +138,20 @@ def _hubers_est_batch_np(X: np.ndarray, c: float = 1.5, tol: float = 1e-8,
     """
     X = np.asarray(X, float)
     L, S = X.shape
-    finite = np.isfinite(X)
+    # only NaN is "missing" (the scalar path drops x[~isnan]); +-inf values
+    # are kept as values — any row containing one makes the scalar Huber
+    # raise on its first iteration (0*inf in the scale numerator), so such
+    # rows route straight to the median/MAD fallback below
+    finite = ~np.isnan(X)
+    has_inf = (finite & np.isinf(X)).any(axis=1)
     n_tot = finite.sum(axis=1).astype(float)
     X0 = np.where(finite, X, 0.0)
 
     def row_median(V):
-        # np.median of each row's finite values (mean of the two middle
+        # np.median of each row's non-NaN values (mean of the two middle
         # order statistics — exactly np.median's result on the compacted
-        # row). np.nanmedian hits a slow per-row path when NaNs exist.
+        # row; data +inf collides with the pads but is value-equal).
+        # np.nanmedian hits a slow per-row path when NaNs exist.
         s = np.sort(np.where(finite, V, np.inf), axis=1)
         nt = n_tot.astype(np.int64)
         lo_i = np.maximum(0, (nt - 1) // 2)
@@ -167,7 +173,7 @@ def _hubers_est_batch_np(X: np.ndarray, c: float = 1.5, tol: float = 1e-8,
     mu = med.copy()
     scale = mad_s.copy()
     done = np.zeros(L, bool)
-    failed = empty.copy()
+    failed = empty | has_inf
     out_mu = np.full(L, np.nan)
     out_sd = np.full(L, np.nan)
 

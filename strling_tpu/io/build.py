@@ -8,6 +8,7 @@ import subprocess
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "csrc")
 _BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+_BZ2_SONAME = "/lib/x86_64-linux-gnu/libbz2.so.1.0"
 
 
 def lib_path() -> str:
@@ -31,8 +32,9 @@ def lib_path() -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
         *srcs, "-o", out + ".tmp", "-ldeflate", "-lz", "-llzma",
-        # no unversioned libbz2.so symlink in this image; link the SONAME
-        "/lib/x86_64-linux-gnu/libbz2.so.1.0",
+        # this image ships libbz2.so.1.0 without the unversioned symlink;
+        # link the SONAME path when present, else the normal -lbz2
+        *(( _BZ2_SONAME,) if os.path.exists(_BZ2_SONAME) else ("-lbz2",)),
     ]
     subprocess.run(cmd, check=True)
     os.replace(out + ".tmp", out)

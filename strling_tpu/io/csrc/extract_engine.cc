@@ -783,7 +783,9 @@ struct Engine {
     }
     std::vector<Pending> batch = std::move(queue.front());
     queue.pop_front();
-    for (const Pending& p : batch) {
+    // non-const: qnames are MOVED out of the batch below (a const ref
+    // would silently bind std::move to the copy constructor)
+    for (Pending& p : batch) {
       nreads++;
       Tread tr;
       tr.tid = p.tid;

@@ -74,8 +74,12 @@ static void huber_rows(const double* X, int64_t L, int64_t S, double c,
   for (int64_t r = r0; r < r1; r++) {
     const double* x = X + r * S;
     int64_t n_tot = 0;
+    bool has_inf = false;
     for (int64_t j = 0; j < S; j++) {
-      fin[j] = std::isfinite(x[j]) ? 1 : 0;
+      // only NaN is missing; +-inf are kept as values (they make the
+      // scalar Huber raise on iteration 1 -> MAD fallback)
+      fin[j] = std::isnan(x[j]) ? 0 : 1;
+      has_inf |= fin[j] && std::isinf(x[j]);
       x0[j] = fin[j] ? x[j] : 0.0;
       n_tot += fin[j];
     }
@@ -84,7 +88,7 @@ static void huber_rows(const double* X, int64_t L, int64_t S, double c,
       absdev[j] = fin[j] ? std::fabs(x[j] - med) : NaN;
     double mad = row_median(absdev.data(), fin.data(), S, n_tot, &rs) / MAD_C;
 
-    bool failed = n_tot == 0;
+    bool failed = n_tot == 0 || has_inf;
     double mu = med, scale = mad;
     double rmu = NaN, rsd = NaN;
     bool done = false;

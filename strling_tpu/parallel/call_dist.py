@@ -110,17 +110,11 @@ def rank_oes_on_mesh(oes_by_local_dev: list[np.ndarray], mesh: Mesh) -> list[np.
 
 
 def _gather_blobs(blob: bytes, nproc: int) -> list[bytes]:
-    """All-gather variable-length byte blobs across processes."""
-    if nproc == 1:
-        return [blob]
-    n_max = int(multihost_utils.process_allgather(np.array([len(blob)])).max())
-    padded = np.zeros(n_max + 1, np.uint8)
-    padded[: len(blob)] = np.frombuffer(blob, np.uint8)
-    lens = np.asarray(
-        multihost_utils.process_allgather(np.array([len(blob)]))
-    ).reshape(nproc)
-    blobs = np.asarray(multihost_utils.process_allgather(padded)).reshape(nproc, -1)
-    return [bytes(blobs[p, : lens[p]]) for p in range(nproc)]
+    """All-gather variable-length byte blobs across processes (shared with
+    the distributed extract)."""
+    from strling_tpu.parallel.extract_dist import _allgather_blobs
+
+    return _allgather_blobs(blob)
 
 
 def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,

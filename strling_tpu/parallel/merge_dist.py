@@ -243,7 +243,8 @@ def run_merge_dist(bins: list[str], fasta: str | None = None, window: int = -1,
     # chunked all_to_all: the round capacity bounds the padded buffer at
     # EXCHANGE_BUDGET_BYTES however skewed the (src, dst) counts are;
     # each round moves rows [r*C, (r+1)*C) of every bucket
-    C = max(1, EXCHANGE_BUDGET_BYTES // max(1, n_local * S * PACK_W * 4))
+    C = max(1, min(cmax,
+                   EXCHANGE_BUDGET_BYTES // max(1, n_local * S * PACK_W * 4)))
     n_rounds = (cmax + C - 1) // C
     exchange = _alltoall_fn(mesh)
     recv_parts: dict[int, list[list[np.ndarray]]] = {}

@@ -180,6 +180,13 @@ def test_hubers_est_batch_matches_scalar():
     rows.append(np.array([7.5]))                            # singleton
     rows.append(np.full(10, np.nan))                        # empty
     rows.append(np.concatenate([np.full(18, 1.0), [2.0, 3.0]]))
+    r = rng.normal(0, 1, 12)
+    r[3] = np.inf                                           # +inf value kept
+    rows.append(r)
+    r = rng.normal(0, 1, 12)
+    r[0] = -np.inf                                          # -inf value kept
+    r[5] = np.nan
+    rows.append(r)
     for seed in range(10):
         rr = np.random.default_rng(seed)
         rows.append(rr.normal(rr.uniform(-3, 3), rr.uniform(0.01, 5), 35))
