@@ -16,7 +16,7 @@ from strling_tpu.core.cluster import (
     parse_bed,
     parse_bounds,
 )
-from strling_tpu.core.collect import spanners
+from strling_tpu.core.collect import spanners_many
 from strling_tpu.core.genotyper import GT_HEADER, Call, genotype, update_genotype
 from strling_tpu.io.bam import Bam
 from strling_tpu.io.binfmt import read_bin, same_targets
@@ -63,7 +63,9 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
         raise SystemExit("couldn't open bounds file")
 
     bam = Bam(bam_path, fasta=fasta)
-    frag_dist = fraglen.fragment_length_distribution(bam)
+    from strling_tpu.io.extract_native import native_frag_hist
+
+    frag_dist = native_frag_hist(bam)  # byte-equal to the Python pass
     frag_median = fraglen.median(frag_dist)
     if verbose:
         print(f"Calculated median fragment length:{frag_median}", file=sys.stderr)
@@ -134,15 +136,21 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     unplaced_counts: dict[str, int] = {}
     genotypes_by_repeat: dict[str, list[Call]] = {}
 
-    # PASS A — provided loci (call.nim:189-218)
+    # PASS A — provided loci (call.nim:189-218). Locus bookkeeping first
+    # (assign_reads_locus mutates the tread table in order), then ONE
+    # streaming support-collection pass over merged locus windows
+    # (spanners_many) instead of a random-access BAM query per locus.
+    work_a = []
     for bound in bounds_list:
         str_reads, str_qnames = assign_reads_locus(bound, groups)
         if bound.right - bound.left > 1000:
             print(f"large bounds:{bound} skipping", file=sys.stderr)
             continue
-        spans, med_depth, expected = spanners(
-            bam, bound, opts.window, frag_dist, opts.min_mapq
-        )
+        work_a.append((bound, str_reads, str_qnames))
+    span_a = spanners_many(bam, [w[0] for w in work_a], opts.window,
+                           frag_dist, opts.min_mapq)
+    for i, (bound, str_reads, str_qnames) in enumerate(work_a):
+        spans, med_depth, expected = span_a[i]
         if len(spans) > 5_000:
             continue
         if med_depth == -1:
@@ -154,8 +162,10 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
         bounds_fh.write(bound.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
         _debug_write(bound, spans, str_reads, str_qnames, bound.id(opts.targets))
 
-    # PASS B — novel clusters (call.nim:221-262)
-    ci = 0
+    # PASS B — novel clusters (call.nim:221-262): clustering consumes the
+    # remaining treads (independent of support collection), then the same
+    # batched streaming pass over the discovered bounds.
+    work_b = []
     for (tid, repeat), (treads, names) in groups.items():
         for c in cluster(treads, max_dist=opts.window,
                          min_supporting_reads=opts.min_support, qnames=names):
@@ -166,20 +176,23 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
             b, good = bounds_checked(c, min_clip, min_clip_total, max_clip_dist)
             if not good:
                 continue
-            spans, med_depth, expected = spanners(
-                bam, b, opts.window, frag_dist, opts.min_mapq
-            )
-            if len(spans) > 5_000:
-                continue
-            if med_depth == -1:
-                continue
-            gt = genotype(b, c.reads, c.qnames, spans, opts, float(med_depth))
-            gt.expected_spanning_fragments = expected
-            canon = canonical_repeat(b.repeat)
-            genotypes_by_repeat.setdefault(canon, []).append(gt)
-            bounds_fh.write(b.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
-            _debug_write(b, spans, c.reads, c.qnames, ci)
-            ci += 1
+            work_b.append((b, c))
+    span_b = spanners_many(bam, [w[0] for w in work_b], opts.window,
+                           frag_dist, opts.min_mapq)
+    ci = 0
+    for i, (b, c) in enumerate(work_b):
+        spans, med_depth, expected = span_b[i]
+        if len(spans) > 5_000:
+            continue
+        if med_depth == -1:
+            continue
+        gt = genotype(b, c.reads, c.qnames, spans, opts, float(med_depth))
+        gt.expected_spanning_fragments = expected
+        canon = canonical_repeat(b.repeat)
+        genotypes_by_repeat.setdefault(canon, []).append(gt)
+        bounds_fh.write(b.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
+        _debug_write(b, spans, c.reads, c.qnames, ci)
+        ci += 1
 
     add_percentile(genotypes_by_repeat)
 

@@ -259,13 +259,19 @@ def _expected_probs_vec(cd: np.ndarray, start, stop, flag, event_start: int,
 
 
 def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
-             min_mapq: int = 20, max_size: int = 5000):
+             min_mapq: int = 20, max_size: int = 5000, batches=None):
     """collect.nim:130-182, vectorized over the window's read batches.
 
     The spanning-probability model, depth diff-array and eligibility masks
     run as numpy ops; per-read Python survives only for reads that overlap
     the bounds and for complete pairs. Semantics equivalence-tested against
     `spanners_reference`.
+
+    With `batches` (a cached super-region read stream from spanners_many),
+    the per-locus BAM query is skipped and membership in this locus's
+    window is applied as a mask with htslib query semantics
+    (endpos > start and pos < end) — reads outside contribute nothing, so
+    results are identical to a fresh per-locus query.
     """
     window_left = bounds.left - window
     window_right = bounds.right + window
@@ -277,11 +283,16 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
     pair_qnames: list[str] = []
     pair_records: list[Record] = []
 
-    for batch in bam.query(bounds.tid, max(0, window_left), window_right):
+    src = (batches if batches is not None
+           else bam.query(bounds.tid, max(0, window_left), window_right))
+    for batch in src:
         flag = batch.flag.astype(np.int64)
         keep = (
             (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_DUP)) == 0
         ) & (batch.mapq >= min_mapq)
+        if batches is not None:
+            keep &= (batch.end_pos.astype(np.int64) > max(0, window_left)) \
+                & (batch.pos.astype(np.int64) < window_right)
         if not keep.any():
             continue
         start = batch.pos.astype(np.int64)
@@ -351,3 +362,63 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
 
     depths = np.cumsum(depths)
     return support, median_depth(depths), expected
+
+
+#: cached super-region size guard for spanners_many (reads); beyond this
+#: the region's loci fall back to per-locus queries
+SPANNERS_REGION_CAP = 400_000
+
+
+def spanners_many(bam, bounds_list: list[Bounds], window: int,
+                  frag_sizes: np.ndarray, min_mapq: int = 20):
+    """Batched spanners: one streaming BAM pass per connected component of
+    overlapping locus windows instead of one random-access query per locus
+    (the reference's per-locus re-query is its call-stage bottleneck,
+    collect.nim:130-182; SURVEY §7 prescribes streaming windowed evidence).
+    Returns {index -> (support, med_depth, expected)} with results
+    identical to per-locus `spanners` (window membership is masked with
+    query semantics inside)."""
+    items = sorted(
+        range(len(bounds_list)),
+        key=lambda i: (bounds_list[i].tid, bounds_list[i].left),
+    )
+    results: dict[int, tuple] = {}
+    region: list[int] = []
+    region_end = -1
+    region_tid = -1
+
+    def flush():
+        if not region:
+            return
+        if len(region) == 1:
+            i = region[0]
+            results[i] = spanners(bam, bounds_list[i], window, frag_sizes,
+                                  min_mapq)
+            return
+        rl = max(0, min(bounds_list[i].left for i in region) - window)
+        rr = max(bounds_list[i].right + window for i in region)
+        batches = []
+        nreads = 0
+        for batch in bam.query(region_tid, rl, rr):
+            batches.append(batch)
+            nreads += len(batch)
+            if nreads > SPANNERS_REGION_CAP:
+                batches = None
+                break
+        for i in region:
+            results[i] = spanners(bam, bounds_list[i], window, frag_sizes,
+                                  min_mapq, batches=batches)
+
+    for i in items:
+        b = bounds_list[i]
+        wl, wr = b.left - window, b.right + window
+        if region and b.tid == region_tid and wl <= region_end:
+            region.append(i)
+            region_end = max(region_end, wr)
+        else:
+            flush()
+            region = [i]
+            region_end = wr
+            region_tid = b.tid
+    flush()
+    return results

@@ -180,8 +180,8 @@ class Bam:
     def has_index(self) -> bool:
         return bool(self._lib.sio_has_index(self._h))
 
-    def _batches(self):
-        B, L = self.batch_size, self.Lmax
+    def _batches(self, B=None):
+        B, L = B or self.batch_size, self.Lmax
         lib = self._lib
         while True:
             tid = np.empty(B, np.int32); pos = np.empty(B, np.int32)
@@ -232,7 +232,9 @@ class Bam:
     def query(self, tid: int, beg: int, end: int):
         """Records overlapping [beg, end) on tid, via the BAI/CRAI index."""
         self._begin(1, tid, beg, end)
-        yield from self._batches()
+        # window queries are small; full-size zeroed batch buffers would
+        # cost more than the reads they carry (the seq plane is B x Lmax)
+        yield from self._batches(B=min(self.batch_size, 2048))
 
     def query_unmapped(self):
         """The no-coor block — htslib's query("*") (extract.nim:326)."""

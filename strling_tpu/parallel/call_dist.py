@@ -138,7 +138,9 @@ def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,
         raise SystemExit("couldn't open bounds file")
 
     bam = Bam(bam_path, fasta=fasta)
-    frag_dist = fraglen.fragment_length_distribution(bam)
+    from strling_tpu.io.extract_native import native_frag_hist
+
+    frag_dist = native_frag_hist(bam)  # byte-equal to the Python pass
     frag_median = fraglen.median(frag_dist)
     opts = Options(
         median_fragment_length=frag_median, min_clip=min_clip,

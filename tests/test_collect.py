@@ -163,3 +163,59 @@ def test_spanners_vectorized_equivalence():
              x.qname)
             for x in s2
         ], (left, right, rep)
+
+
+def test_spanners_many_matches_per_locus(tmp_path):
+    """spanners_many (one streaming pass per merged window region) must
+    return results identical to per-locus spanners, including overlapping
+    and adjacent windows and the region-cap fallback."""
+    import numpy as np
+
+    from strling_tpu.core.cluster import Bounds
+    from strling_tpu.core.collect import spanners, spanners_many
+    from strling_tpu.core.simulate import Allele, normal_hist, simulate_str_bam
+    from strling_tpu.io.bam import Bam
+    from strling_tpu.io.fasta import build_fai, write_fasta
+    import strling_tpu.core.collect as CO
+
+    rng = np.random.default_rng(5)
+    seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 60000)])
+    for pos in (15000, 15400, 30000):
+        seq = seq[:pos] + "CAG" * 10 + seq[pos:]
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(fa, {"chr1": seq})
+    build_fai(fa, fa + ".fai")
+    bam_p = str(tmp_path / "s.bam")
+    simulate_str_bam(fa, [Allele("chr1", 15000, (0, 80), "CAG"),
+                          Allele("chr1", 15430, (0, 60), "CAG"),
+                          Allele("chr1", 30060, (0, 90), "CAG")],
+                     bam_p, normal_hist(400, 50), depth=25, flank=8000,
+                     seed=3)
+    bam = Bam(bam_p)
+    hist = normal_hist(400, 50)
+    # two overlapping windows + one distant
+    bl = [Bounds(tid=0, left=15000, right=15010, repeat="AGC"),
+          Bounds(tid=0, left=15430, right=15445, repeat="AGC"),
+          Bounds(tid=0, left=30060, right=30070, repeat="AGC")]
+
+    def norm(res):
+        spans, md, exp = res
+        return ([s.tostring(b, "chr1") for s, b in zip(spans, [None] * 0)] or
+                [f"{s.Type}|{s.qname}|{s.SpanningFragmentLength}|"
+                 f"{s.SpanningReadRepeatCount}" for s in spans], md,
+                float(exp))
+
+    window = 450
+    want = [norm(spanners(bam, b, window, hist)) for b in bl]
+    got = spanners_many(bam, bl, window, hist)
+    for i in range(3):
+        assert norm(got[i]) == want[i], i
+    # cap fallback path produces the same results
+    old = CO.SPANNERS_REGION_CAP
+    CO.SPANNERS_REGION_CAP = 10
+    try:
+        got2 = spanners_many(bam, bl, window, hist)
+    finally:
+        CO.SPANNERS_REGION_CAP = old
+    for i in range(3):
+        assert norm(got2[i]) == want[i], i
