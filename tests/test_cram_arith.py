@@ -386,3 +386,44 @@ def test_hand_authored_uint7_multibyte():
     payload = bytes([7] * 200)
     blob = bytes([0x20, 0x81, 0x48]) + payload  # 200 = 0x81 0x48 in uint7
     assert native_nx16_decode(blob, 200) == payload
+
+
+def test_hand_authored_tok3_fixture():
+    """Hand-constructed tok3 (name tokeniser) stream, independent of our
+    encoder: two names 'read1'/'read2' via DIFF/STRING/DIGITS/MATCH/DELTA
+    /END token streams, each rANSNx16-CAT compressed. Pins the container
+    framing (0x80 new-position flag, uint7 stream lengths, u32le dists)."""
+    lib = _load()
+
+    def cat(raw: bytes) -> bytes:
+        assert len(raw) < 128
+        return bytes([0x20, len(raw)]) + raw
+
+    def stream(ttype: int, payload: bytes, new_pos: bool) -> bytes:
+        c = cat(payload)
+        return bytes([ttype | (0x80 if new_pos else 0), len(c)]) + c
+
+    TYPE, STRING, DIGITS, DIFF, DELTA, MATCH, END = 0, 1, 7, 6, 8, 10, 12
+    blob = bytearray()
+    want = b"read1\x00read2\x00"
+    blob += (len(want)).to_bytes(4, "little")  # ulen
+    blob += (2).to_bytes(4, "little")          # nnames
+    blob += b"\x00"                            # use_arith = 0 (rans)
+    # pos 0: TYPE=[DIFF,DIFF]; DIFF dists u32le: 0 (first), 1 (vs name 0)
+    blob += stream(TYPE, bytes([DIFF, DIFF]), new_pos=True)
+    blob += stream(DIFF, (0).to_bytes(4, "little") + (1).to_bytes(4, "little"),
+                   new_pos=False)
+    # pos 1: TYPE=[STRING, MATCH]; STRING "read\0"
+    blob += stream(TYPE, bytes([STRING, MATCH]), new_pos=True)
+    blob += stream(STRING, b"read\x00", new_pos=False)
+    # pos 2: TYPE=[DIGITS, DELTA]; DIGITS u32le(1); DELTA +1
+    blob += stream(TYPE, bytes([DIGITS, DELTA]), new_pos=True)
+    blob += stream(DIGITS, (1).to_bytes(4, "little"), new_pos=False)
+    blob += stream(DELTA, bytes([1]), new_pos=False)
+    # pos 3: TYPE=[END, END]
+    blob += stream(TYPE, bytes([END, END]), new_pos=True)
+
+    out = np.zeros(64, np.uint8)
+    n = lib.sio_tok3_decode(bytes(blob), len(blob), len(want), out, len(out))
+    assert n == len(want), n
+    assert bytes(out[: len(want)]) == want
