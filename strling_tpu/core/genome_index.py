@@ -43,28 +43,48 @@ def _first_slide_code(s: str, k: int) -> int:
     return oracle.slide_by(s, k)[0]
 
 
+def _slide_codes_np(dna: str, k: int) -> np.ndarray:
+    """Vectorized oracle.slide_by: min-rotation codes of the k-mers at
+    stride-k positions 0, k, 2k, ... (utils.nim:10-35). Identical values;
+    the Python per-character loop costs ~2us/base, which dominated the
+    whole index stage at genome scale (trim runs over every merged
+    region)."""
+    n = len(dna)
+    W = (n - k) // k + 1 if k <= n else 0
+    if W <= 0:
+        return np.zeros(0, np.int64)
+    codes = (np.frombuffer(dna.encode(), np.uint8).astype(np.int64) >> 1) & 3
+    wpos = np.arange(W, dtype=np.int64) * k
+    win = codes[wpos[:, None] + np.arange(k)]
+    f = np.zeros(W, np.int64)
+    for m in range(k):
+        f = (f << 2) | win[:, m]
+    mask = (1 << (2 * k)) - 1
+    kmin = f.copy()
+    for _ in range(k - 1):
+        f = ((f << 2) & mask) | (f >> (2 * (k - 1)))
+        kmin = np.minimum(kmin, f)
+    return kmin
+
+
 def trim(w: Window, dna: str) -> Window:
     """Trim a merged window to the first/last matching kmer
     (genome_strs.nim:22-59)."""
     assert len(dna) == w.stop - w.start
     k = len(w.repeat)
     expected = _first_slide_code(w.repeat, k)
-    # trim left: advance in steps of k on first-mismatching kmer
-    for enc in oracle.slide_by(dna, k):
-        if enc != expected:
-            w.start += k
-        else:
-            break
+    # trim left: advance in steps of k up to the first matching kmer
+    enc = _slide_codes_np(dna, k)
+    hits = np.flatnonzero(enc == expected)
+    w.start += int(hits[0]) * k if len(hits) else len(enc) * k
     assert w.start < w.stop, f"repeat {w.repeat} not found in expected region"
     # trim right: reverse both
     dnar = dna[::-1]
     rep_rev = w.repeat[::-1]
     expected = _first_slide_code(rep_rev, k)
-    for enc in oracle.slide_by(dnar, k):
-        if enc != expected:
-            w.stop -= k
-        else:
-            break
+    enc = _slide_codes_np(dnar, k)
+    hits = np.flatnonzero(enc == expected)
+    w.stop -= int(hits[0]) * k if len(hits) else len(enc) * k
     assert w.start < w.stop, f"repeat {w.repeat} not found in expected region"
     return w
 
