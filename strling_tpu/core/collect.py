@@ -312,7 +312,11 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
         pair_ok = keep & (batch.tid == batch.mate_tid) & (
             np.abs(batch.isize) <= max_size
         )
-        for i in np.nonzero(overlap | pair_ok)[0]:
+        # full Record objects (cigar list + seq string) only for reads that
+        # overlap the bounds; pair candidates carry just the scalars
+        # spanning_fragment reads (start/stop/isize — stop is the native
+        # bam_endpos, identical to Record.stop's CIGAR projection)
+        for i in np.nonzero(overlap)[0]:
             cig = batch.cigar_of(i)
             rec = Record(
                 qname=qn[i], flag=int(flag[i]), tid=int(batch.tid[i]),
@@ -321,13 +325,13 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
                 mate_tid=int(batch.mate_tid[i]), mate_pos=int(batch.mate_pos[i]),
                 isize=int(batch.isize[i]), seq=batch.seq_str(i),
             )
-            if overlap[i]:
-                s = Support()
-                if overlapping_read(rec, bounds, s):
-                    support.append(s)
-            if pair_ok[i]:
-                pair_qnames.append(qn[i])
-                pair_records.append(rec)
+            s = Support()
+            if overlapping_read(rec, bounds, s):
+                support.append(s)
+        for i in np.nonzero(pair_ok)[0]:
+            pair_qnames.append(qn[i])
+            pair_records.append((int(start[i]), int(stop[i]),
+                                 int(batch.isize[i])))
 
     # high-depth abort (collect.nim:167-170): the pair-table size only grows,
     # so the final distinct count triggers iff it triggered mid-stream
@@ -350,14 +354,29 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
     for v in by_qname.values():
         expected = np.float32(np.float64(expected) + v)
 
-    groups: dict[str, list[Record]] = {}
+    # spanning fragments from complete pairs (collect.nim:36-48,175-179):
+    # the same gates as spanning_fragment, on the scalar triples
+    bound_width = bounds.right - bounds.left
+    slop = len(bounds.repeat) - 1
+    if bound_width < 5:
+        slop += 5 - bound_width
+    groups2: dict[str, list[tuple[int, int, int]]] = {}
     for q, r in zip(pair_qnames, pair_records):
-        groups.setdefault(q, []).append(r)
-    for q, pair in groups.items():
+        groups2.setdefault(q, []).append(r)
+    for q, pair in groups2.items():
         if len(pair) != 2:
             continue
-        s = Support()
-        if spanning_fragment(pair[0], pair[1], bounds, s, frag_sizes):
+        (l_start, _, l_isize), (r_start, r_stop, _) = pair
+        assert l_start <= r_start
+        if l_start < (bounds.left - slop) and r_stop > (bounds.right + slop):
+            s = Support()
+            s.Type = SupportType.SpanningFragment
+            s.SpanningFragmentLength = max(1, abs(l_isize))
+            s.SpanningFragmentPercentile = percentile(
+                frag_sizes, s.SpanningFragmentLength
+            )
+            s.repeat = bounds.repeat
+            s.qname = q
             support.append(s)
 
     depths = np.cumsum(depths)
