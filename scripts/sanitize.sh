@@ -52,9 +52,11 @@ int main(int argc, char** argv) {
 EOF
 
 SRC="strling_tpu/io/csrc"
+BZ2LIB=/lib/x86_64-linux-gnu/libbz2.so.1.0
+[ -e "$BZ2LIB" ] || BZ2LIB=-lbz2
 echo "[sanitize] TSAN build" >&2
 g++ -fsanitize=thread -O1 -g -std=c++17 -pthread "$TMP/scan.cc" $SRC/*.cc \
-    -o "$TMP/tsan_scan" -ldeflate -lz
+    -o "$TMP/tsan_scan" -ldeflate -lz -llzma $BZ2LIB
 echo "[sanitize] TSAN: BAM scan (BgzfMT)" >&2
 "$TMP/tsan_scan" "$BAM" 2> "$TMP/tsan1.log"
 echo "[sanitize] TSAN: CRAM scan x3 (parallel container decode)" >&2
@@ -67,7 +69,7 @@ fi
 
 echo "[sanitize] ASAN+UBSAN build" >&2
 g++ -fsanitize=address,undefined -O1 -g -std=c++17 -pthread "$TMP/scan.cc" \
-    $SRC/*.cc -o "$TMP/asan_scan" -ldeflate -lz
+    $SRC/*.cc -o "$TMP/asan_scan" -ldeflate -lz -llzma $BZ2LIB
 echo "[sanitize] fuzz corpus (truncations + bit flips)" >&2
 python - "$CRAM" "$TMP/corpus" <<'PY'
 import random, os, sys
@@ -111,9 +113,18 @@ data = bytes(rng.choice(b"ACGTN") for _ in range(4000))
 recs = [bytes(rng.randrange(33, 73) for _ in range(rng.randrange(60, 152)))
         for _ in range(30)]
 names = b"".join(f"rd:{i:05d}:x\x00".encode() for i in range(300))
+from strling_tpu.io.cramwrite import fqz_encode31
+sels = [rng.randrange(0, 3) for _ in recs]
+rev = [bool(rng.randrange(2)) for _ in recs]
+f31 = fqz_encode31(
+    recs,
+    [dict(do_sel=True, sloc=14, qtab=[min(i, 31) for i in range(256)]),
+     dict(qbits=4, qshift=2, ptab=[min(i // 32, 15) for i in range(1024)])],
+    selectors=sels, stab=[0, 0, 1] + [1] * 253, reverse=rev)
 blobs = {
     "arith": (arith_encode(data, order=1, rle=True), len(data)),
     "fqz": (fqz_encode(recs), sum(map(len, recs))),
+    "fqz31": (f31, sum(map(len, recs))),
     "tok3": (tok3_encode(names, use_arith=True), len(names)),
 }
 out = sys.argv[1]
@@ -142,7 +153,7 @@ int main(int argc, char** argv) {
   int64_t usize = atoll(argv[3]);
   std::vector<uint8_t> out(usize + 64);
   auto dec = !strcmp(argv[1], "arith") ? sio_arith_decode
-           : !strcmp(argv[1], "fqz") ? sio_fqz_decode : sio_tok3_decode;
+           : !strcmp(argv[1], "tok3") ? sio_tok3_decode : sio_fqz_decode;
   unsigned seed = 12345;
   for (long cut = 0; cut <= n; cut += 13)
     dec(blob.data(), cut, usize, out.data(), out.size());
@@ -157,10 +168,83 @@ int main(int argc, char** argv) {
 }
 EOF
 g++ -fsanitize=address,undefined -O1 -g -std=c++17 -pthread "$TMP/codec.cc" \
-    $SRC/*.cc -o "$TMP/asan_codec" -ldeflate -lz
-for mode in arith fqz tok3; do
+    $SRC/*.cc -o "$TMP/asan_codec" -ldeflate -lz -llzma $BZ2LIB
+for mode in arith fqz fqz31 tok3; do
   ASAN_OPTIONS=abort_on_error=1 UBSAN_OPTIONS=halt_on_error=1 \
     timeout 120 "$TMP/asan_codec" "$mode" "$TMP/$mode.blob" \
     "$(cat "$TMP/$mode.usize")" > /dev/null
 done
-echo "[sanitize] OK: TSAN clean, ASAN+UBSAN clean over corpus + codec blobs" >&2
+echo "[sanitize] TSAN: extract engine producer thread (pipelined fused reader)" >&2
+cat > "$TMP/engine.cc" <<'CCEOF'
+#include <cstdio>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+extern "C" {
+  void* sio_open(const char* path);
+  void sio_close(void* h);
+  void* sio_ex_create(void* h, double prop, int mapq, int64_t med, int Lmax);
+  void sio_ex_destroy(void* e);
+  int64_t sio_ex_next_fused(void* e, int64_t maxrec, int64_t* nrec,
+                            uint8_t* payload, uint8_t* ab, int32_t* al,
+                            double* ap, int64_t cap, int32_t* fb);
+  int sio_ex_feed(void* e, const int32_t* c, const int32_t* l,
+                  const int32_t* n, int64_t rows);
+  int sio_ex_done(void* e);
+  int64_t sio_ex_n_treads(void* e);
+  void sio_hubers_batch(const double* X, int64_t L, int64_t S, double c,
+                        double tol, int64_t maxiter, double gamma,
+                        double* mu, double* sd, uint8_t* meth);
+}
+int main(int argc, char** argv) {
+  void* h = sio_open(argv[1]);
+  if (!h) return 1;
+  const int Lmax = 160;
+  const int64_t CAP = 8192;
+  void* e = sio_ex_create(h, 0.8, 40, 400, Lmax);
+  std::vector<uint8_t> payload((size_t)CAP * (3 * Lmax / 8 + 22));
+  std::vector<uint8_t> ab((size_t)CAP * Lmax);
+  std::vector<int32_t> al(CAP);
+  std::vector<double> ap(CAP);
+  std::vector<int32_t> z(CAP, 0);
+  int64_t total = 0;
+  for (;;) {
+    int64_t nrec = 0; int32_t fb = 0;
+    int64_t rows = sio_ex_next_fused(e, 4000, &nrec, payload.data(), ab.data(),
+                                     al.data(), ap.data(), CAP, &fb);
+    if (rows < 0) return 3;
+    total += nrec;
+    if (nrec > 0) sio_ex_feed(e, z.data(), z.data(), z.data(), rows);
+    if (nrec == 0 && sio_ex_done(e)) break;
+  }
+  printf("records=%ld treads=%ld\n", (long)total, (long)sio_ex_n_treads(e));
+  sio_ex_destroy(e);
+  sio_close(h);
+  // multithreaded batched Huber under the same sanitizer
+  const int64_t L = 4000, S = 64;
+  std::vector<double> X(L * S), mu(L), sd(L);
+  std::vector<uint8_t> mth(L);
+  unsigned seed = 7;
+  for (auto& v : X) v = (double)(rand_r(&seed) % 1000) / 100.0;
+  sio_hubers_batch(X.data(), L, S, 1.5, 1e-8, 1000, 0.7784, mu.data(),
+                   sd.data(), mth.data());
+  printf("huber ok\n");
+  return 0;
+}
+CCEOF
+g++ -fsanitize=thread -O1 -g -std=c++17 -pthread "$TMP/engine.cc" $SRC/*.cc \
+    -o "$TMP/tsan_engine" -ldeflate -lz -llzma $BZ2LIB
+"$TMP/tsan_engine" "$BAM" 2> "$TMP/tsan3.log" || true
+g++ -fsanitize=address,undefined -O1 -g -std=c++17 -pthread "$TMP/engine.cc" \
+    $SRC/*.cc -o "$TMP/asan_engine" -ldeflate -lz -llzma $BZ2LIB
+ASAN_OPTIONS=abort_on_error=1 UBSAN_OPTIONS=halt_on_error=1 \
+  "$TMP/asan_engine" "$BAM" > /dev/null
+if grep -q "WARNING: ThreadSanitizer" "$TMP/tsan3.log"; then
+  echo "[sanitize] TSAN FAILURES (engine):" >&2
+  cat "$TMP/tsan3.log" >&2
+  exit 1
+fi
+
+echo "[sanitize] OK: TSAN clean (scan + engine producer), ASAN+UBSAN clean over corpus + codec blobs" >&2
+
