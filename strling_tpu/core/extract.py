@@ -35,7 +35,6 @@ from strling_tpu.core.tread import (
     FLAG_SECONDARY,
     FLAG_SUPPLEMENTARY,
     Soft,
-    TREAD_DTYPE,
     Tread,
     TreadBatch,
 )

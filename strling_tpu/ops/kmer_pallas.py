@@ -53,18 +53,31 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
     canon_ascii = 65 + 2 * codes + 15 * (codes == 2).astype(jnp.int32)
     codes3 = codes | ((basesi != canon_ascii).astype(jnp.int32) << 2)
     # one 6-digit gram per position; every k's posgram is a single shift of
-    # it (gram_k[j] = top 3k bits = digits j..j+k-1). Wrapped roll rows only
-    # pollute digits past k-1, which the shift discards, and rows with
-    # j+k > len are killed by the per-k length gate. The same six rolls also
-    # build the shared 2-bit rolling encode full2[p] = encode of bases
-    # p..p+5, whose top 2k bits are kmer k's encode at p — one roll pass
-    # feeds both the recount posgrams and every k's window codes.
-    gram6 = jnp.zeros((L, TB), jnp.int32)
-    full2 = jnp.zeros((L, TB), jnp.int32)
-    for m in range(6):
-        d3 = jnp.roll(codes3, -m, axis=0) if m else codes3
-        gram6 = gram6 | (d3 << (3 * (5 - m)))
-        full2 = full2 | ((d3 & 3) << (2 * (5 - m)))
+    # it (gram_k[j] = top 3k bits = digits j..j+k-1), and the shared 2-bit
+    # rolling encode full2[p] = encode of bases p..p+5, whose top 2k bits
+    # are kmer k's encode at p. Both are banded position sums
+    # Sum_m digit[j+m] * B^(5-m), so the MXU computes them in ONE matmul
+    # each instead of six sublane rolls: the band weights are powers of two
+    # (exact in bf16) and digits are <= 7 (3 bits), so even default-precision
+    # MXU products are exact, and f32 accumulation of sums < 2^18 is exact.
+    # Positions past L get 0 digits (the rolls wrapped instead) — those
+    # digits are only ever read for j+k > len rows, which the per-k length
+    # gates kill either way.
+    bj6 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    bp6 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    brel = bp6 - bj6
+    bin_band = (brel >= 0) & (brel < 6)
+    brel_c = jnp.where(bin_band, brel, 0)
+    w_gram = jnp.where(bin_band, jnp.left_shift(1, 3 * (5 - brel_c)),
+                       0).astype(jnp.float32)
+    w_full = jnp.where(bin_band, jnp.left_shift(1, 2 * (5 - brel_c)),
+                       0).astype(jnp.float32)
+    codes3_f = codes3.astype(jnp.float32)
+    codes_f = codes.astype(jnp.float32)
+    gram6 = jnp.dot(w_gram, codes3_f,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    full2 = jnp.dot(w_full, codes_f,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
 
     per_k = []
     for ki, k in enumerate(KS):
