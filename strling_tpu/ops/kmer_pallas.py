@@ -93,21 +93,24 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         # sublane slices don't lower in Mosaic, the MXU does this for free).
         mask = (1 << (2 * k)) - 1
         fk = full2 >> (2 * (6 - k))  # [L, TB] encode of bases p..p+k-1
-        kmin_all = fk
-        f = fk
-        for _ in range(k - 1):
-            f = ((f << 2) & mask) | (f >> (2 * (k - 1)))
-            kmin_all = jnp.minimum(kmin_all, f)
         rowi = jax.lax.broadcasted_iota(jnp.int32, (W, L), 0)
         coli = jax.lax.broadcasted_iota(jnp.int32, (W, L), 1)
         sel = (coli == rowi * k).astype(jnp.float32)
+        # Select the stride-k window codes FIRST (row selection commutes
+        # with the per-window rotation chain), so the k-1 rotate-min steps
+        # run on [W, TB] instead of [L, TB] — k x less rotate work.
         # Precision.HIGHEST forces a true-f32 MXU contraction (Mosaic only
         # emits #tpu.contract_precision<fp32> for HIGHEST); the default may
-        # lower to bf16 passes, which would round kmin codes >= 256 — every
+        # lower to bf16 passes, which would round codes >= 256 — every
         # 5/6-mer window code. f32 values < 4096 are exact under HIGHEST.
-        wmin = jnp.dot(sel, kmin_all.astype(jnp.float32),
+        wsel = jnp.dot(sel, fk.astype(jnp.float32),
                        precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
+        wmin = wsel
+        f = wsel
+        for _ in range(k - 1):
+            f = ((f << 2) & mask) | (f >> (2 * (k - 1)))
+            wmin = jnp.minimum(wmin, f)
         win_end = (jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0) + 1) * k
         validw = win_end <= lengths  # [W, TB]
         wmin = jnp.where(validw, wmin, NEG)
