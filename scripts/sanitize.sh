@@ -235,11 +235,12 @@ int main(int argc, char** argv) {
 CCEOF
 g++ -fsanitize=thread -O1 -g -std=c++17 -pthread "$TMP/engine.cc" $SRC/*.cc \
     -o "$TMP/tsan_engine" -ldeflate -lz -llzma $BZ2LIB
-"$TMP/tsan_engine" "$BAM" 2> "$TMP/tsan3.log" || true
+timeout 300 "$TMP/tsan_engine" "$BAM" > "$TMP/engine.out" 2> "$TMP/tsan3.log"
+grep -q "^records=" "$TMP/engine.out"
 g++ -fsanitize=address,undefined -O1 -g -std=c++17 -pthread "$TMP/engine.cc" \
     $SRC/*.cc -o "$TMP/asan_engine" -ldeflate -lz -llzma $BZ2LIB
 ASAN_OPTIONS=abort_on_error=1 UBSAN_OPTIONS=halt_on_error=1 \
-  "$TMP/asan_engine" "$BAM" > /dev/null
+  timeout 300 "$TMP/asan_engine" "$BAM" > /dev/null
 if grep -q "WARNING: ThreadSanitizer" "$TMP/tsan3.log"; then
   echo "[sanitize] TSAN FAILURES (engine):" >&2
   cat "$TMP/tsan3.log" >&2

@@ -55,24 +55,47 @@ class Support:
         )
 
 
-def spanning_fragment(L: Record, R: Record, bounds: Bounds, support: Support,
-                      frag_sizes: np.ndarray) -> bool:
-    """collect.nim:36-48."""
-    assert L.start <= R.start
-    bound_width = bounds.right - bounds.left
+def _bounds_slop(bounds: Bounds) -> int:
+    """collect.nim:38-41 (shared by the fragment and read gates)."""
     slop = len(bounds.repeat) - 1
+    bound_width = bounds.right - bounds.left
     if bound_width < 5:
         slop += 5 - bound_width
-    if L.start < (bounds.left - slop) and R.stop > (bounds.right + slop):
+    return slop
+
+
+def spanning_fragment_scalars(l_start: int, r_stop: int, l_isize: int,
+                              qname: str, bounds: Bounds,
+                              frag_sizes: np.ndarray) -> Support | None:
+    """collect.nim:36-48 on the scalar fields the gate actually reads."""
+    slop = _bounds_slop(bounds)
+    if l_start < (bounds.left - slop) and r_stop > (bounds.right + slop):
+        support = Support()
         support.Type = SupportType.SpanningFragment
-        support.SpanningFragmentLength = max(1, abs(L.isize))
+        support.SpanningFragmentLength = max(1, abs(l_isize))
         support.SpanningFragmentPercentile = percentile(
             frag_sizes, support.SpanningFragmentLength
         )
         support.repeat = bounds.repeat
-        support.qname = L.qname
-        return True
-    return False
+        support.qname = qname
+        return support
+    return None
+
+
+def spanning_fragment(L: Record, R: Record, bounds: Bounds, support: Support,
+                      frag_sizes: np.ndarray) -> bool:
+    """collect.nim:36-48."""
+    assert L.start <= R.start
+    s = spanning_fragment_scalars(L.start, R.stop, L.isize, L.qname, bounds,
+                                  frag_sizes)
+    if s is None:
+        return False
+    support.Type = s.Type
+    support.SpanningFragmentLength = s.SpanningFragmentLength
+    support.SpanningFragmentPercentile = s.SpanningFragmentPercentile
+    support.repeat = s.repeat
+    support.qname = s.qname
+    return True
 
 
 def find_read_position(A: Record, position: int) -> int:
@@ -122,10 +145,7 @@ def count_repeat_in_bounds(A: Record, bounds: Bounds) -> int:
 
 def overlapping_read(A: Record, bounds: Bounds, support: Support) -> bool:
     """collect.nim:96-116."""
-    bound_width = bounds.right - bounds.left
-    slop = len(bounds.repeat) - 1
-    if bound_width < 5:
-        slop += 5 - bound_width
+    slop = _bounds_slop(bounds)
     if not (A.tid == bounds.tid and max(A.start, bounds.left) <= min(A.stop, bounds.right)):
         return False
     support.Type = SupportType.OverlappingRead
@@ -281,10 +301,17 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
     all_qnames: list[str] = []
     all_probs: list[np.ndarray] = []
     pair_qnames: list[str] = []
-    pair_records: list[Record] = []
+    pair_records: list[tuple[int, int, int]] = []  # (start, stop, isize)
 
-    src = (batches if batches is not None
-           else bam.query(bounds.tid, max(0, window_left), window_right))
+    if batches is not None:
+        # cached super-region stream: skip whole batches outside this
+        # locus's window (batches are coordinate-sorted; a batch overlaps
+        # iff any read's [pos, end_pos) crosses the window)
+        src = [b for b in batches
+               if len(b) and int(b.end_pos.max()) > max(0, window_left)
+               and int(b.pos[0]) < window_right]
+    else:
+        src = bam.query(bounds.tid, max(0, window_left), window_right)
     for batch in src:
         flag = batch.flag.astype(np.int64)
         keep = (
@@ -354,12 +381,7 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
     for v in by_qname.values():
         expected = np.float32(np.float64(expected) + v)
 
-    # spanning fragments from complete pairs (collect.nim:36-48,175-179):
-    # the same gates as spanning_fragment, on the scalar triples
-    bound_width = bounds.right - bounds.left
-    slop = len(bounds.repeat) - 1
-    if bound_width < 5:
-        slop += 5 - bound_width
+    # spanning fragments from complete pairs (collect.nim:36-48,175-179)
     groups2: dict[str, list[tuple[int, int, int]]] = {}
     for q, r in zip(pair_qnames, pair_records):
         groups2.setdefault(q, []).append(r)
@@ -368,15 +390,9 @@ def spanners(bam, bounds: Bounds, window: int, frag_sizes: np.ndarray,
             continue
         (l_start, _, l_isize), (r_start, r_stop, _) = pair
         assert l_start <= r_start
-        if l_start < (bounds.left - slop) and r_stop > (bounds.right + slop):
-            s = Support()
-            s.Type = SupportType.SpanningFragment
-            s.SpanningFragmentLength = max(1, abs(l_isize))
-            s.SpanningFragmentPercentile = percentile(
-                frag_sizes, s.SpanningFragmentLength
-            )
-            s.repeat = bounds.repeat
-            s.qname = q
+        s = spanning_fragment_scalars(l_start, r_stop, l_isize, q, bounds,
+                                      frag_sizes)
+        if s is not None:
             support.append(s)
 
     depths = np.cumsum(depths)

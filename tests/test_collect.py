@@ -200,8 +200,7 @@ def test_spanners_many_matches_per_locus(tmp_path):
 
     def norm(res):
         spans, md, exp = res
-        return ([s.tostring(b, "chr1") for s, b in zip(spans, [None] * 0)] or
-                [f"{s.Type}|{s.qname}|{s.SpanningFragmentLength}|"
+        return ([f"{s.Type}|{s.qname}|{s.SpanningFragmentLength}|"
                  f"{s.SpanningReadRepeatCount}" for s in spans], md,
                 float(exp))
 
