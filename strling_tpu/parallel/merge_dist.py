@@ -111,24 +111,6 @@ def _to_global(local: np.ndarray, mesh: Mesh) -> jax.Array:
     return multihost_utils.host_local_array_to_global_array(local, mesh, P("d"))
 
 
-def _reshard_fn(mesh: Mesh):
-    def step(frag, buf):
-        # frag: [1, 4096] per device (only device-local slot nonzero)
-        frag_tot = jax.lax.psum(frag[0], "d")
-        # buf: [1, S, Cmax, W] per device; row s goes to device s
-        recv = jax.lax.all_to_all(buf[0], "d", split_axis=0, concat_axis=0)
-        return frag_tot, recv[None]
-
-    return jax.jit(
-        jax.shard_map(
-            step, mesh=mesh,
-            in_specs=(P("d", None), P("d", None, None, None)),
-            out_specs=(P(), P("d", None, None, None)),
-            check_vma=False,
-        )
-    )
-
-
 def _alltoall_fn(mesh: Mesh):
     def step(buf):
         recv = jax.lax.all_to_all(buf[0], "d", split_axis=0, concat_axis=0)
