@@ -336,6 +336,21 @@ def fuse_payload(bases: np.ndarray, lengths: np.ndarray, props: np.ndarray,
     return (out, layout) if return_layout else out
 
 
+def _meta_from_payload(payload: jnp.ndarray, meta_off: int, meta_w: int):
+    """Device-side meta extraction shared by unfuse_payload and the packed
+    n8 kernel path: (lengths [R], te [R,5], tp [R,5]) from the trailing
+    meta bytes."""
+    R, Wp = payload.shape
+    meta = jax.lax.slice(payload, (0, meta_off), (R, Wp))
+    if meta_w == FUSE_META8:
+        m = meta.astype(jnp.int32)
+    else:
+        m = jax.lax.bitcast_convert_type(
+            meta.reshape(R, 11, 2), jnp.uint16
+        ).astype(jnp.int32)
+    return m[:, 10], m[:, :5], m[:, 5:10]
+
+
 def unfuse_payload(payload: jnp.ndarray, layout: str):
     """Device-side inverse of fuse_payload (fused into the jit). `layout`
     is static and must be the layout the producer reported ("w8"/"w16"/
@@ -357,16 +372,7 @@ def unfuse_payload(payload: jnp.ndarray, layout: str):
         pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
         nb = jax.lax.slice(payload, (0, L // 4), (R, 3 * L // 8))
         meta_off = 3 * L // 8
-    meta = jax.lax.slice(payload, (0, meta_off), (R, Wp))
-    if meta_w == FUSE_META8:
-        m = meta.astype(jnp.int32)
-    else:
-        m = jax.lax.bitcast_convert_type(
-            meta.reshape(R, 11, 2), jnp.uint16
-        ).astype(jnp.int32)
-    te = m[:, :5]
-    tp = m[:, 5:10]
-    lengths = m[:, 10]
+    lengths, te, tp = _meta_from_payload(payload, meta_off, meta_w)
     return unpack_ascii(pb, nb), lengths, te, tp
 
 

@@ -28,30 +28,56 @@ NEG = -1
 
 
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
-            match_s, tot_s, aft_s, variant="full"):
+            match_s, tot_s, aft_s, variant="full", packed=False):
     """variant toggles exist ONLY for the stage-attribution experiment
     (scripts/exp_kernel_timing.py): "full" (production), "no_greedy" (exact
     recount replaced by the modal estimate), "no_modal" (modal replaced by
-    the first valid window code), "winmin_only" (neither)."""
+    the first valid window code), "winmin_only" (neither).
+
+    With `packed` (the n8 fused path), bases_ref holds the 2-bit packed
+    payload rows [L/4, TB] directly — N-free ACGT-only by construction, so
+    the N/IUPAC logic drops out, and the phase-interleaved position order
+    of the unpacked code blocks is absorbed into the band-matmul column
+    permutation (everything downstream reads the natural-order gram6/full2
+    outputs)."""
     do_modal = variant in ("full", "no_greedy")
     do_greedy = variant in ("full", "no_modal")
-    L, TB = bases_ref.shape
+    if packed:
+        L4, TB = bases_ref.shape
+        L = 4 * L4
+        lengths = lengths_ref[...].astype(jnp.int32)  # [1, TB]
+        pk = bases_ref[...].astype(jnp.int32)
+        # σ-order codes: block m row t holds position 4t + m
+        codes_sig = jnp.concatenate(
+            [(pk >> (2 * m)) & 3 for m in range(4)], axis=0
+        )  # [L, TB]
+        skip = jnp.zeros((1, TB), jnp.bool_)
+        codes3_src = codes_sig  # ACGT-only: the IUPAC flag bit is always 0
+        codes_src = codes_sig
+        # column q of the band matrices addresses position sig(q)
+        qix = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        col_pos = 4 * (qix % L4) + qix // L4
+    else:
+        L, TB = bases_ref.shape
+        basesi = bases_ref[...].astype(jnp.int32)  # u8 compares don't lower
+        codes = (basesi >> 1) & 3  # [L, TB]
+        lengths = lengths_ref[...].astype(jnp.int32)  # [1, TB]
+        n_mask = (basesi == ord("N")) & (
+            jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0) < lengths
+        )
+        skip = n_mask.astype(jnp.int32).sum(axis=0, keepdims=True) > 20
+        # 3-bit digits for the exact-recount posgram: 2-bit code + a "not
+        # the canonical letter" flag. The reference's recount compares raw
+        # read bytes against the ACTG-decoded kmer (utils.nim:254), so N and
+        # every other IUPAC byte (which shares a 2-bit code with a real
+        # base, e.g. 'R'->'C') must never match: flag any byte that is not
+        # itself the decoded letter of its own code
+        # (A=65 C=67 T=84 G=71 == 65+2d+15*(d==2))
+        canon_ascii = 65 + 2 * codes + 15 * (codes == 2).astype(jnp.int32)
+        codes3_src = codes | ((basesi != canon_ascii).astype(jnp.int32) << 2)
+        codes_src = codes
+        col_pos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     TBH = TB // 2
-    basesi = bases_ref[...].astype(jnp.int32)  # u8 vector compares don't lower
-    codes = (basesi >> 1) & 3  # [L, TB]
-    lengths = lengths_ref[...].astype(jnp.int32)  # [1, TB]
-    n_mask = (basesi == ord("N")) & (
-        jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0) < lengths
-    )
-    skip = n_mask.astype(jnp.int32).sum(axis=0, keepdims=True) > 20  # [1, TB]
-    # 3-bit digits for the exact-recount posgram: 2-bit code + a "not the
-    # canonical letter" flag. The reference's recount compares raw read
-    # bytes against the ACTG-decoded kmer (utils.nim:254), so N and every
-    # other IUPAC byte (which shares a 2-bit code with a real base, e.g.
-    # 'R'->'C') must never match: flag any byte that is not itself the
-    # decoded letter of its own code (A=65 C=67 T=84 G=71 == 65+2d+15*(d==2))
-    canon_ascii = 65 + 2 * codes + 15 * (codes == 2).astype(jnp.int32)
-    codes3 = codes | ((basesi != canon_ascii).astype(jnp.int32) << 2)
     # one 6-digit gram per position; every k's posgram is a single shift of
     # it (gram_k[j] = top 3k bits = digits j..j+k-1), and the shared 2-bit
     # rolling encode full2[p] = encode of bases p..p+5, whose top 2k bits
@@ -62,18 +88,18 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
     # MXU products are exact, and f32 accumulation of sums < 2^18 is exact.
     # Positions past L get 0 digits (the rolls wrapped instead) — those
     # digits are only ever read for j+k > len rows, which the per-k length
-    # gates kill either way.
+    # gates kill either way. Output row j is the NATURAL position j; the
+    # input column's position is col_pos (identity, or σ for packed input).
     bj6 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    bp6 = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    brel = bp6 - bj6
+    brel = col_pos - bj6
     bin_band = (brel >= 0) & (brel < 6)
     brel_c = jnp.where(bin_band, brel, 0)
     w_gram = jnp.where(bin_band, jnp.left_shift(1, 3 * (5 - brel_c)),
                        0).astype(jnp.float32)
     w_full = jnp.where(bin_band, jnp.left_shift(1, 2 * (5 - brel_c)),
                        0).astype(jnp.float32)
-    codes3_f = codes3.astype(jnp.float32)
-    codes_f = codes.astype(jnp.float32)
+    codes3_f = codes3_src.astype(jnp.float32)
+    codes_f = codes_src.astype(jnp.float32)
     gram6 = jnp.dot(w_gram, codes3_f,
                     preferred_element_type=jnp.float32).astype(jnp.int32)
     full2 = jnp.dot(w_full, codes_f,
@@ -310,8 +336,10 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
 
 def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
                             te: jnp.ndarray, tp: jnp.ndarray,
-                            interpret: bool = False, variant: str = "full"):
-    """bases_T: [L, B] uint8 (position-major); lengths [B]; te/tp [5, B].
+                            interpret: bool = False, variant: str = "full",
+                            packed: bool = False):
+    """bases_T: [L, B] uint8 (position-major) — or, with `packed`, the
+    2-bit packed rows [L/4, B] of an N-free batch; lengths [B]; te/tp [5, B].
 
     Returns (unit_code [B] i32 base-4, unit_len [B] i32, count [B] i32).
     `variant` != "full" builds stage-disabled kernels for the attribution
@@ -319,14 +347,17 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
     """
     from functools import partial as _partial
 
-    L, B = bases_T.shape
+    Lin, B = bases_T.shape
+    L = 4 * Lin if packed else Lin
     assert B % TILE_B == 0, B
     grid = (B // TILE_B,)
+    kern = (_partial(_kernel, variant=variant, packed=packed)
+            if (variant != "full" or packed) else _kernel)
     out = pl.pallas_call(
-        _partial(_kernel, variant=variant) if variant != "full" else _kernel,
+        kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lin, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((len(KS), TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((len(KS), TILE_B), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -359,9 +390,11 @@ MAX_TILES = 32
 
 
 def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
-                             interpret: bool = False, variant: str = "full"):
-    """Drop-in for ops.kmer.get_repeat_device (same [B, L] inputs), returning
-    packed codes instead of ASCII: (unit_code, unit_len, count)."""
+                             interpret: bool = False, variant: str = "full",
+                             packed: bool = False):
+    """Drop-in for ops.kmer.get_repeat_device (same [B, L] inputs — or, with
+    `packed`, [B, L/4] 2-bit packed N-free rows), returning packed codes
+    instead of ASCII: (unit_code, unit_len, count)."""
     B, L = bases.shape
     pad = (-B) % TILE_B
     if pad:
@@ -378,7 +411,7 @@ def get_repeat_device_pallas(bases, lengths, thresh_early, thresh_prop,
             bases[s:e].T, lengths[s:e],
             thresh_early[s:e].T.astype(jnp.int32),
             thresh_prop[s:e].T.astype(jnp.int32), interpret=interpret,
-            variant=variant,
+            variant=variant, packed=packed,
         ))
     code, klen, cnt = (jnp.concatenate([o[i] for o in outs])
                        if len(outs) > 1 else outs[0][i]
@@ -407,9 +440,25 @@ from functools import partial  # noqa: E402
 def _pallas_fused_jit(payload, layout):
     """Single-transfer variant: one u8 payload in, one packed [B] i32 out.
     See ops.kmer.fuse_payload for the layouts and the tunnel-cost
-    rationale. `layout` is static ("w8"/"w16"/"n8")."""
-    from strling_tpu.ops.kmer import pack_result, unfuse_payload
+    rationale. `layout` is static ("w8"/"w16"/"n8"). The n8 layout (N-free,
+    the common case) skips ASCII reconstruction entirely: the kernel takes
+    the 2-bit packed rows directly (4x smaller transpose; the band matmuls
+    absorb the phase-block position permutation)."""
+    from strling_tpu.ops.kmer import (
+        FUSE_META8,
+        _meta_from_payload,
+        pack_result,
+        unfuse_payload,
+    )
 
+    if layout == "n8":
+        R, Wp = payload.shape
+        L = (Wp - FUSE_META8) * 4
+        pb = jax.lax.slice(payload, (0, 0), (R, L // 4))
+        lengths, te, tp = _meta_from_payload(payload, L // 4, FUSE_META8)
+        code, ulen, cnt = get_repeat_device_pallas(pb, lengths, te, tp,
+                                                   packed=True)
+        return pack_result(code, ulen, cnt)
     bases, lengths, te, tp = unfuse_payload(payload, layout)
     code, ulen, cnt = get_repeat_device_pallas(bases, lengths, te, tp)
     return pack_result(code, ulen, cnt)

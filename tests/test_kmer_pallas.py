@@ -132,3 +132,35 @@ def test_pallas_iupac_bytes_match_oracle():
         exp_unit, exp_count = oracle.get_repeat(r, p)
         assert units[i] == exp_unit, (i, r, units[i], exp_unit)
         assert int(cnt[i]) == exp_count, (i, r, int(cnt[i]), exp_count)
+
+
+def test_pallas_packed_n8_matches_ascii():
+    """The packed n8 kernel path (2-bit rows in, band-matmul position
+    permutation) must produce identical results to the ASCII path on
+    N-free batches, including short lengths and planted repeats."""
+    import numpy as np
+
+    from strling_tpu.ops.kmer import _host_thresholds, pack_bases
+
+    rng = np.random.default_rng(9)
+    B, L = 64, 104
+    alphabet = np.frombuffer(b"ACGT", np.uint8)
+    bases = alphabet[rng.integers(0, 4, (B, L))]
+    units = [b"CAG", b"A", b"AT", b"AAGGG", b"ATTCT", b"ACGTCG"]
+    for i in range(0, B, 3):
+        u = units[i % len(units)]
+        bases[i] = np.frombuffer((u * (L // len(u) + 1))[:L], np.uint8)
+    lengths = rng.integers(8, L + 1, B).astype(np.int32)
+    for i, l in enumerate(lengths):
+        bases[i, l:] = 0
+    te, tp = _host_thresholds(lengths, np.full(B, 0.8))
+    codes = (bases >> 1) & 3
+    packed = (codes[:, 0::4] | (codes[:, 1::4] << 2) | (codes[:, 2::4] << 4)
+              | (codes[:, 3::4] << 6)).astype(np.uint8)
+    a = get_repeat_device_pallas(bases, lengths, te.astype(np.int32),
+                                 tp.astype(np.int32), interpret=True)
+    p = get_repeat_device_pallas(packed, lengths, te.astype(np.int32),
+                                 tp.astype(np.int32), interpret=True,
+                                 packed=True)
+    for x, y in zip(a, p):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
