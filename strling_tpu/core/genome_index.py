@@ -27,6 +27,12 @@ from strling_tpu.utils.options import Options
 WINDOW_SIZE = 100  # genome_strs.nim:122
 STEP = 60  # genome_strs.nim:123
 
+# Candidate windows are padded to the canonical read-scan width so the device
+# program is byte-for-byte the same jit as the extract kernel's standard
+# 152bp shape (zero pad bases scan as empty) — one compiled program serves
+# both stages, and the index pays no extra device compile.
+SCAN_WIDTH = 152
+
 
 class Window:
     __slots__ = ("chrom", "start", "stop", "repeat")
@@ -109,28 +115,31 @@ def _provably_zero_rows(bases: np.ndarray, lens: np.ndarray,
 
 def _chrom_zero_mask(chrom_bytes: np.ndarray, window: int, step: int,
                      prop: float) -> np.ndarray:
-    """Per-window provably-zero mask for a whole chromosome via the native
-    single-pass prefilter (several M windows/s; falls back to the numpy
-    bound if the library is unavailable)."""
+    """Per-window exact-zero mask for a whole chromosome via the native
+    multithreaded scanner (csrc/genome_scan.cc): dimer bound first, then an
+    exact get_repeat evaluation on survivors, so the mask is 1 exactly when
+    the detector returns count==0 and only repeat-bearing windows travel to
+    the device. Falls back to the numpy dimer bound if the library is
+    unavailable."""
     try:
         import ctypes as C
 
         from strling_tpu.io.bam import _load
 
         lib = _load()
-        if not hasattr(lib.sio_genome_prefilter, "_bound"):
+        if not hasattr(lib.sio_genome_scan, "_bound"):
             P = np.ctypeslib.ndpointer
-            lib.sio_genome_prefilter.restype = C.c_int64
-            lib.sio_genome_prefilter.argtypes = [
+            lib.sio_genome_scan.restype = C.c_int64
+            lib.sio_genome_scan.argtypes = [
                 P(np.uint8), C.c_int64, C.c_int64, C.c_int64, C.c_double,
-                P(np.uint8),
+                P(np.uint8), C.c_int,
             ]
-            lib.sio_genome_prefilter._bound = True
+            lib.sio_genome_scan._bound = True
         L = len(chrom_bytes)
         n_windows = (L + step - 1) // step if L else 0
         mask = np.empty(max(1, n_windows), np.uint8)
-        lib.sio_genome_prefilter(
-            np.ascontiguousarray(chrom_bytes), L, window, step, prop, mask
+        lib.sio_genome_scan(
+            np.ascontiguousarray(chrom_bytes), L, window, step, prop, mask, 0
         )
         return mask[:n_windows].astype(bool)
     except Exception:
@@ -181,11 +190,14 @@ def repeat_windows(fai: Fasta, opts: Options, window_size: int = WINDOW_SIZE,
             cidx = cand_all[b0 : b0 + batch_windows]
             bases = np.ascontiguousarray(sv[cidx])
             lens = lens_all[cidx].astype(np.int32)
-            if bases.shape[1] % 8:
+            if bases.shape[1] < SCAN_WIDTH:
+                bases = np.pad(bases, ((0, 0), (0, SCAN_WIDTH - bases.shape[1])))
+            elif bases.shape[1] % 8:
                 padc = 8 - bases.shape[1] % 8
                 bases = np.pad(bases, ((0, 0), (0, padc)))
             code_c, ulen_c, count_c = scan_codes(
                 bases, lens, np.full(len(lens), opts.proportion_repeat),
+                bucket=batch_windows,
             )
             cand_counts[b0 : b0 + len(cidx)] = count_c
             cand_units.extend(unpack_unit_codes(code_c, ulen_c))

@@ -427,6 +427,17 @@ def codes_to_ascii(code: np.ndarray, unit_len: np.ndarray) -> np.ndarray:
     return out
 
 
+def _committed(x) -> jnp.ndarray:
+    """Host array -> a COMMITTED array on the default device.
+
+    Every dispatch entry funnels through this so all callers (extract,
+    genome index, benches) share ONE pjit cache entry per shape: committed
+    and uncommitted inputs of the same shape compile as separate programs,
+    which costs a full (remote, on axon) compile for no reason.
+    """
+    return jax.device_put(x, jax.devices()[0])
+
+
 def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
@@ -456,13 +467,13 @@ def get_repeat_batch(bases: np.ndarray, lengths: np.ndarray,
         from strling_tpu.ops.kmer_pallas import _pallas_jit
 
         code, unit_len, count = _pallas_jit(
-            jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
+            _committed(bases), _committed(lengths), _committed(te), _committed(tp)
         )
         code = np.asarray(code)
         unit_len = np.asarray(unit_len)
         return codes_to_ascii(code, unit_len), unit_len, np.asarray(count)
     unit, unit_len, count = _get_repeat_jit(
-        jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te), jnp.asarray(tp)
+        _committed(bases), _committed(lengths), _committed(te), _committed(tp)
     )
     return np.asarray(unit), np.asarray(unit_len), np.asarray(count)
 
@@ -506,9 +517,9 @@ def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
             if use_pallas:
                 from strling_tpu.ops.kmer_pallas import _pallas_fused_jit
 
-                out = _pallas_fused_jit(jnp.asarray(payload), layout)
+                out = _pallas_fused_jit(_committed(payload), layout)
             else:
-                out = _fused_xla_jit(jnp.asarray(payload), layout)
+                out = _fused_xla_jit(_committed(payload), layout)
 
             def fetch():
                 code, ulen, cnt = unpack_result(out)
@@ -522,13 +533,13 @@ def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
 
         if pk is not None:
             code, ulen, cnt = _pallas_packed_jit(
-                jnp.asarray(pk[0]), jnp.asarray(pk[1]), jnp.asarray(lengths),
-                jnp.asarray(te), jnp.asarray(tp)
+                _committed(pk[0]), _committed(pk[1]), _committed(lengths),
+                _committed(te), _committed(tp)
             )
         else:
             code, ulen, cnt = _pallas_jit(
-                jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te),
-                jnp.asarray(tp)
+                _committed(bases), _committed(lengths), _committed(te),
+                _committed(tp)
             )
 
         def fetch():
@@ -539,13 +550,13 @@ def scan_codes_dispatch(bases: np.ndarray, lengths: np.ndarray,
         return fetch
     if pk is not None:
         unit, ulen, cnt = _get_repeat_packed_jit(
-            jnp.asarray(pk[0]), jnp.asarray(pk[1]), jnp.asarray(lengths),
-            jnp.asarray(te), jnp.asarray(tp)
+            _committed(pk[0]), _committed(pk[1]), _committed(lengths),
+            _committed(te), _committed(tp)
         )
     else:
         unit, ulen, cnt = _get_repeat_jit(
-            jnp.asarray(bases), jnp.asarray(lengths), jnp.asarray(te),
-            jnp.asarray(tp)
+            _committed(bases), _committed(lengths), _committed(te),
+            _committed(tp)
         )
 
     def fetch():
@@ -578,7 +589,7 @@ def scan_payload(payload: np.ndarray, n_rows: int, layout: str,
             [payload, np.zeros((padded - R, payload.shape[1]), np.uint8)]
         )
     arr = (jax.device_put(payload, device) if device is not None
-           else jnp.asarray(payload))
+           else _committed(payload))
     use_pallas = backend == "pallas" or (backend == "auto" and _use_pallas())
     if use_pallas:
         from strling_tpu.ops.kmer_pallas import _pallas_fused_jit

@@ -259,3 +259,65 @@ def test_read_str_bed_roundtrip(tmp_path):
     gi = read_str_bed(str(p))
     assert gi.overlaps("chr1", np.array([15]), np.array([16])).tolist() == [True]
     assert gi.overlaps("chr2", np.array([0]), np.array([5])).tolist() == [False]
+
+
+# ------------------------------------------- native exact window scan
+
+
+def _native_scan_mask(seq: str, prop: float, window=WINDOW_SIZE, step=STEP):
+    import ctypes as C
+
+    from strling_tpu.core.genome_index import _chrom_zero_mask
+
+    cb = np.frombuffer(seq.encode(), np.uint8)
+    mask = _chrom_zero_mask(cb, window, step, prop)
+    assert mask is not None, "native library unavailable"
+    return mask
+
+
+def test_native_scan_matches_oracle_random():
+    # csrc/genome_scan.cc must agree with the executable spec
+    # (ops/oracle.py get_repeat) window by window: mask==1 iff count==0.
+    import random
+
+    random.seed(101)
+    parts = []
+    # random junk, planted repeats of every unit length, N runs, IUPAC
+    parts.append("".join(random.choice("ACGT") for _ in range(3000)))
+    for unit in ("AT", "CAG", "AAAG", "AAGGG", "AAAGGC"):
+        parts.append("".join(random.choice("ACGT") for _ in range(137)))
+        parts.append(unit * (240 // len(unit)))
+    parts.append("N" * 50)  # N>20 windows must be zero
+    parts.append("CAG" * 80)
+    parts.append("N" * 15 + "CAG" * 40)  # N<=20: still detectable
+    parts.append("".join(random.choice("ACGTNRY") for _ in range(800)))
+    seq = "".join(parts)
+    for prop in (0.8, 0.5):
+        mask = _native_scan_mask(seq, prop)
+        L = len(seq)
+        for w, s in enumerate(range(0, L, STEP)):
+            dna = seq[s : min(L, s + WINDOW_SIZE)]
+            _, cnt = oracle.get_repeat(dna, prop)
+            assert bool(mask[w]) == (cnt == 0), (w, s, dna)
+
+
+def test_native_scan_borderline_thresholds():
+    # windows sitting exactly at the count threshold (utils.nim:259: strict >)
+    # and at the early-exit estimate (utils.nim:251)
+    import random
+
+    random.seed(202)
+    seqs = []
+    for reps in (12, 13, 14, 26, 27):  # around trunc(100*0.8/6)=13 etc.
+        junk = "".join(random.choice("ACGT") for _ in range(100 - reps * 6))
+        seqs.append("AAGGCT" * reps + junk)
+    for reps in (39, 40, 41):
+        junk = "".join(random.choice("ACGT") for _ in range(100 - reps * 2))
+        seqs.append("AT" * reps + junk)
+    seq = ("G" * 40).join(seqs)
+    mask = _native_scan_mask(seq, 0.8)
+    L = len(seq)
+    for w, s in enumerate(range(0, L, STEP)):
+        dna = seq[s : min(L, s + WINDOW_SIZE)]
+        _, cnt = oracle.get_repeat(dna, 0.8)
+        assert bool(mask[w]) == (cnt == 0), (w, s, dna)
