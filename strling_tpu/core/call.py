@@ -17,7 +17,14 @@ from strling_tpu.core.cluster import (
     parse_bounds,
 )
 from strling_tpu.core.collect import spanners_many
-from strling_tpu.core.genotyper import GT_HEADER, Call, genotype, update_genotype
+from strling_tpu.core.collect_batched import collect_many
+from strling_tpu.core.genotyper import (
+    GT_HEADER,
+    Call,
+    genotype,
+    genotype_ls,
+    update_genotype,
+)
 from strling_tpu.io.bam import Bam
 from strling_tpu.io.binfmt import read_bin, same_targets
 from strling_tpu.ops.encode import canonical_repeat
@@ -136,10 +143,39 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     unplaced_counts: dict[str, int] = {}
     genotypes_by_repeat: dict[str, list[Call]] = {}
 
+    # The debug evidence files need the full Support rows (percentiles,
+    # per-row tostring), so --debug keeps the per-record spec collection;
+    # the production path runs the vectorized batched twin
+    # (collect_batched.py), equivalence-tested bit-for-bit.
+    def _spans_for(work):
+        bl = [w[0] for w in work]
+        if debug:
+            return spanners_many(bam, bl, opts.window, frag_dist,
+                                 opts.min_mapq)
+        return collect_many(bam, bl, opts.window, frag_dist, opts.min_mapq)
+
+    def _genotype_one(res, bound, str_reads, str_qnames):
+        """Shared guard + genotype step; returns (gt, med_depth, spans|None)
+        or None when a guard skips the locus (call.nim:225-231)."""
+        if debug:
+            spans, med_depth, expected = res
+            if len(spans) > 5_000 or med_depth == -1:
+                return None
+            gt = genotype(bound, str_reads, str_qnames, spans, opts,
+                          float(med_depth))
+            gt.expected_spanning_fragments = expected
+            return gt, med_depth, spans
+        if res.n_support > 5_000 or res.med_depth == -1:
+            return None
+        gt = genotype_ls(bound, str_reads, str_qnames, res, opts,
+                         float(res.med_depth))
+        gt.expected_spanning_fragments = res.expected
+        return gt, res.med_depth, None
+
     # PASS A — provided loci (call.nim:189-218). Locus bookkeeping first
     # (assign_reads_locus mutates the tread table in order), then ONE
     # streaming support-collection pass over merged locus windows
-    # (spanners_many) instead of a random-access BAM query per locus.
+    # instead of a random-access BAM query per locus.
     work_a = []
     for bound in bounds_list:
         str_reads, str_qnames = assign_reads_locus(bound, groups)
@@ -147,16 +183,12 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
             print(f"large bounds:{bound} skipping", file=sys.stderr)
             continue
         work_a.append((bound, str_reads, str_qnames))
-    span_a = spanners_many(bam, [w[0] for w in work_a], opts.window,
-                           frag_dist, opts.min_mapq)
+    span_a = _spans_for(work_a)
     for i, (bound, str_reads, str_qnames) in enumerate(work_a):
-        spans, med_depth, expected = span_a[i]
-        if len(spans) > 5_000:
+        got = _genotype_one(span_a[i], bound, str_reads, str_qnames)
+        if got is None:
             continue
-        if med_depth == -1:
-            continue
-        gt = genotype(bound, str_reads, str_qnames, spans, opts, float(med_depth))
-        gt.expected_spanning_fragments = expected
+        gt, med_depth, spans = got
         canon = canonical_repeat(bound.repeat)
         genotypes_by_repeat.setdefault(canon, []).append(gt)
         bounds_fh.write(bound.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
@@ -177,17 +209,13 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
             if not good:
                 continue
             work_b.append((b, c))
-    span_b = spanners_many(bam, [w[0] for w in work_b], opts.window,
-                           frag_dist, opts.min_mapq)
+    span_b = _spans_for(work_b)
     ci = 0
     for i, (b, c) in enumerate(work_b):
-        spans, med_depth, expected = span_b[i]
-        if len(spans) > 5_000:
+        got = _genotype_one(span_b[i], b, c.reads, c.qnames)
+        if got is None:
             continue
-        if med_depth == -1:
-            continue
-        gt = genotype(b, c.reads, c.qnames, spans, opts, float(med_depth))
-        gt.expected_spanning_fragments = expected
+        gt, med_depth, spans = got
         canon = canonical_repeat(b.repeat)
         genotypes_by_repeat.setdefault(canon, []).append(gt)
         bounds_fh.write(b.tostring(opts.targets) + "\t" + str(med_depth) + "\n")

@@ -214,6 +214,63 @@ def genotype(b: Bounds, tandems, tandem_qnames, spanners: list[Support],
     return c
 
 
+def genotype_ls(b: Bounds, tandems, tandem_qnames, ls, opts: Options,
+                depth: float) -> Call:
+    """genotype() consuming a collect_batched.LocusSupport instead of the
+    per-record Support list — identical Call output (the Support rows
+    genotype actually reads are the SpanningRead indel column and the two
+    class counts; equivalence-tested against the spec path)."""
+    c = Call()
+    c.chrom = opts.targets[b.tid].name
+    c.start = b.left
+    c.stop = b.right
+    c.left_clips = b.n_left
+    c.right_clips = b.n_right
+    c.repeat = b.repeat
+    c.depth = depth
+    rulen = len(c.repeat)
+
+    if ls.n_support == 0:
+        c.allele1 = NAN
+    else:
+        # spanning_read_est (genotyper.nim:62-95) on the indel column; the
+        # dict reproduces insertion order so most_frequent tie-breaks match
+        indels: dict[int, int] = {}
+        for v in ls.span_ind:
+            v = int(v)
+            indels[v] = indels.get(v, 0) + 1
+        a1 = NAN
+        if len(indels) >= 2:
+            a1 = float(most_frequent(indels, 2)[0])
+        elif len(indels) == 1:
+            a1 = float(_largest_key(indels))
+        if a1 == a1:
+            c.allele1 = a1 / max(1, rulen)
+        c.spanning_reads = ls.n_spanning_reads
+        c.spanning_pairs = ls.n_spanning_pairs
+
+    # reference quirk: is_large reads allele2 before assignment (see genotype)
+    c.is_large = (
+        b.n_left >= opts.min_clip
+        and b.n_right >= opts.min_clip
+        and (b.n_left + b.n_right) >= opts.min_clip_total
+        and len(tandems) >= opts.min_support
+        and c.allele2 > float(opts.median_fragment_length)
+    )
+
+    est2 = sum_str_est(tandems, depth)
+    c.overlapping_reads = est2.supporting_reads
+    c.sum_str_counts = est2.sum_str_counts
+    c.allele2 = est2.allele2_bp / max(1, rulen)
+
+    qnames = set()
+    for i in range(len(tandems)):
+        if tandems["split"][i] == int(Soft.none):
+            qnames.add(tandem_qnames[i] if tandem_qnames is not None else i)
+    c.anchored_reads = len(qnames)
+    return c
+
+
 def update_genotype(call: Call, unplaced_reads: int):
     """genotyper.nim:192-197."""
     rulen = len(call.repeat)
