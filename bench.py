@@ -163,57 +163,106 @@ def bench_extract_e2e(smoke: bool):
     print(f"# e2e n_reads={2*n_pairs} treads={len(tb)}", file=sys.stderr)
 
 
+def _bench_call_inputs(n_loci: int, depth: int = 20, gap: int = 25_000):
+    """Synthetic call-stage workload at WGS-realistic volume: n_loci novel
+    CAG clusters `gap` apart on one chromosome, BAM coverage only within
+    ±1150bp of each locus (reads between windows never reach the call
+    stage), and the evidence treads written directly to the bin. Cached on
+    disk — generation is one-time."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    bam_path = os.path.join(CACHE_DIR, f"call_{n_loci}_{depth}.bam")
+    bin_path = os.path.join(CACHE_DIR, f"call_{n_loci}_{depth}.bin")
+    if (os.path.exists(bam_path) and os.path.exists(bam_path + ".bai")
+            and os.path.exists(bin_path)):
+        return bam_path, bin_path
+    from strling_tpu.core.tread import TREAD_DTYPE, Soft, TreadBatch
+    from strling_tpu.io.bamwrite import BamRecord, write_bam
+    from strling_tpu.io.binfmt import write_bin
+    from strling_tpu.utils.fraglen import NBINS
+
+    rng = np.random.default_rng(11)
+    G = gap * (n_loci + 1) + 20_000
+    L = 150
+    half = 1_150
+    n_pairs = int(2 * half * depth / (2 * L))
+    lut = np.frombuffer(b"ACGT", np.uint8)
+
+    # coverage pairs per locus (vectorized; sequences are random non-STR)
+    loci_pos = (np.arange(n_loci, dtype=np.int64) + 1) * gap
+    starts = (
+        loci_pos[:, None]
+        + rng.integers(-half, half - 420, (n_loci, n_pairs))
+    ).ravel()
+    isz = rng.integers(330, 470, n_loci * n_pairs)
+    codes = rng.integers(0, 4, (n_loci * n_pairs, 2, L), dtype=np.uint8)
+    recs = []
+    for j in range(n_loci * n_pairs):
+        p = int(starts[j])
+        i = int(isz[j])
+        s1 = lut[codes[j, 0]].tobytes().decode()
+        s2 = lut[codes[j, 1]].tobytes().decode()
+        q = f"r{j}"
+        recs.append(BamRecord(q, 0x63, 0, p, 60, [(L, 0)], 0, p + i - L,
+                              i, s1))
+        recs.append(BamRecord(q, 0x93, 0, p + i - L, 60, [(L, 0)], 0, p,
+                              -i, s2))
+    recs.sort(key=lambda r: r.pos)
+    hdr = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrC\tLN:%d\n" % G
+    write_bam(bam_path, hdr, [("chrC", G)], recs)
+
+    # evidence treads: per locus ~12 anchored + 6 left-clip + 6 right-clip
+    per = 24
+    data = np.zeros(n_loci * per, TREAD_DTYPE)
+    qnames = []
+    k = 0
+    for li in range(n_loci):
+        p = int(loci_pos[li])
+        anchors = np.sort(rng.integers(p - 350, p - 40, 12))
+        for a in anchors:
+            data[k] = (0, a, b"CAG", 0x63, int(Soft.none), 60,
+                       int(rng.integers(25, 50)), L, -1)
+            qnames.append(f"t{li}_{k % per}")
+            k += 1
+        for _ in range(6):
+            data[k] = (0, p, b"CAG", 0x63, int(Soft.left), 60, 45, L, -1)
+            qnames.append(f"t{li}_{k % per}")
+            k += 1
+        for _ in range(6):
+            data[k] = (0, p + 40, b"CAG", 0x63, int(Soft.right), 60, 45, L,
+                       -1)
+            qnames.append(f"t{li}_{k % per}")
+            k += 1
+    hist = np.zeros(NBINS, np.uint32)
+    np.add.at(hist, isz, 1)
+    tb = TreadBatch(data=data, qnames=qnames)
+    write_bin(bin_path, tb, hist,
+              "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrC\tLN:%d\n" % G,
+              0.8, 40)
+    return bam_path, bin_path
+
+
 def bench_call(smoke: bool):
+    """The call stage at cohort-realistic volume: n>=5000 novel clusters
+    through the full run_call (read bin, cluster, batched support
+    collection over the BAM, genotype, percentile, write)."""
     import tempfile
 
     from strling_tpu.core.call import run_call
-    from strling_tpu.core.extract import extract
-    from strling_tpu.core.simulate import Allele, normal_hist, simulate_str_bam
-    from strling_tpu.io.bam import Bam
-    from strling_tpu.io.binfmt import write_bin
-    from strling_tpu.io.fasta import write_fasta
 
-    n_loci = 4 if smoke else 32
+    n_loci = 40 if smoke else 5000
+    bam_path, bin_path = _bench_call_inputs(n_loci)
     with tempfile.TemporaryDirectory() as d:
-        rng = np.random.default_rng(5)
-        gap = 25_000
-        G = gap * (n_loci + 2)
-        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, G)])
-        alleles = []
-        parts, cur = [], 0
-        for i in range(n_loci):
-            p = gap * (i + 1)
-            parts.append(seq[cur:p])
-            parts.append("CAG" * 10)
-            cur = p
-            alleles.append(Allele("chr1", p, (0, 60), "CAG"))
-        parts.append(seq[cur:])
-        write_fasta(os.path.join(d, "ref.fa"), {"chr1": "".join(parts)})
-        # account for the inserted reference repeats when placing alleles
-        for i, a in enumerate(alleles):
-            alleles[i] = Allele("chr1", a.position + 30 * i, a.counts,
-                                a.repeat_unit)
-        hist = normal_hist(400, 50)
-        bam_path = os.path.join(d, "s.bam")
-        # flank must exceed the simulator's 2*4096 sampling margin
-        # (simulate_allele: L = len(hap) - 2*4096) or zero reads come out
-        simulate_str_bam(os.path.join(d, "ref.fa"), alleles, bam_path, hist,
-                         depth=30, flank=11_000, seed=1)
-        bam = Bam(bam_path)
-        tb, frag, opts = extract(bam, None, None)
-        binp = os.path.join(d, "s.bin")
-        write_bin(binp, tb, frag, bam.header_text, 0.8, 40)
-        dt = float("inf")  # best-of-3: the ~0.3s measurement is noisy on a
-        for _ in range(1 if smoke else 3):  # shared 2-core host
+        dt = float("inf")
+        for _ in range(1 if smoke else 2):
             t0 = time.perf_counter()
-            run_call(bam_path, binp, output_prefix=os.path.join(d, "out"))
+            run_call(bam_path, bin_path, output_prefix=os.path.join(d, "out"))
             dt = min(dt, time.perf_counter() - t0)
         lines = open(os.path.join(d, "out-genotype.txt")).read().splitlines()
         n_called = len(lines) - 1
-        if n_called < n_loci // 2:
-            print(f"# WARNING: call bench genotyped {n_called}/{n_loci} "
-                  "planted loci — metric unreliable", file=sys.stderr)
-        lps = n_called / dt
+    if n_called < n_loci * 9 // 10:
+        print(f"# WARNING: call bench genotyped {n_called}/{n_loci} "
+              "planted loci — metric unreliable", file=sys.stderr)
+    lps = n_called / dt
     emit("call_loci_per_sec", lps, "loci/s", lps / NIM_BASELINE_LOCI_PER_SEC)
     print(f"# call n_called={n_called} dt={dt:.2f}s", file=sys.stderr)
 

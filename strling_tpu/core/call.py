@@ -17,7 +17,7 @@ from strling_tpu.core.cluster import (
     parse_bounds,
 )
 from strling_tpu.core.collect import spanners_many
-from strling_tpu.core.collect_batched import collect_many
+from strling_tpu.core.collect_batched import collect_many, collect_many_native
 from strling_tpu.core.genotyper import (
     GT_HEADER,
     Call,
@@ -152,6 +152,10 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
         if debug:
             return spanners_many(bam, bl, opts.window, frag_dist,
                                  opts.min_mapq)
+        got = collect_many_native(bam, bl, opts.window, frag_dist,
+                                  opts.min_mapq)
+        if got is not None:
+            return got
         return collect_many(bam, bl, opts.window, frag_dist, opts.min_mapq)
 
     def _genotype_one(res, bound, str_reads, str_qnames):

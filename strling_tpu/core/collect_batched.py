@@ -420,6 +420,118 @@ def iter_components(bounds_list: list[Bounds], window: int):
         yield region_tid, region
 
 
+def _bind_collect(lib):
+    import ctypes as C
+
+    if not hasattr(lib.sio_collect_many, "_bound"):
+        P = np.ctypeslib.ndpointer
+        lib.sio_collect_many.restype = C.c_int64
+        lib.sio_collect_many.argtypes = [
+            C.c_void_p, C.c_int64, P(np.int32), P(np.int64), P(np.int64),
+            C.c_char_p, C.c_int64, P(np.float32), C.c_int64, C.c_int32,
+            C.c_int32, P(np.int32), P(np.int32), P(np.int32), P(np.int32),
+            P(np.float32), C.c_int64, P(np.int64), P(np.uint8), P(np.int32),
+        ]
+        lib.sio_collect_many._bound = True
+
+
+def _native_collect_chunk(bam_path, fasta, idxs, bounds_list, window, cd,
+                          min_mapq, max_size):
+    """One thread's contiguous slice of loci through sio_collect_many
+    (its own reader handle; the ctypes call releases the GIL)."""
+    from strling_tpu.io.bam import Bam, _load
+
+    lib = _load()
+    _bind_collect(lib)
+    bam = Bam(bam_path, fasta=fasta)
+    n = len(idxs)
+    ltid = np.array([bounds_list[i].tid for i in idxs], np.int32)
+    lleft = np.array([bounds_list[i].left for i in idxs], np.int64)
+    lright = np.array([bounds_list[i].right for i in idxs], np.int64)
+    lrep = b"".join(
+        bounds_list[i].repeat.encode().ljust(8, b"\0") for i in idxs
+    )
+    n_support = np.zeros(n, np.int32)
+    n_span = np.zeros(n, np.int32)
+    n_frag = np.zeros(n, np.int32)
+    med = np.zeros(n, np.int32)
+    expected = np.zeros(n, np.float32)
+    span_cap = max(4096, 64 * n)
+    while True:
+        span_off = np.zeros(n + 1, np.int64)
+        span_rc = np.zeros(span_cap, np.uint8)
+        span_ind = np.zeros(span_cap, np.int32)
+        rc = lib.sio_collect_many(
+            bam._h, n, ltid, lleft, lright, lrep, window, cd, len(cd),
+            min_mapq, max_size, n_support, n_span, n_frag, med, expected,
+            span_cap, span_off, span_rc, span_ind,
+        )
+        if rc == -2:
+            span_cap *= 4
+            continue
+        if rc != 0:
+            raise OSError("sio_collect_many failed")
+        break
+    out = {}
+    for j, i in enumerate(idxs):
+        lo, hi = int(span_off[j]), int(span_off[j + 1])
+        out[i] = LocusSupport(
+            n_support=int(n_support[j]), n_spanning_reads=int(n_span[j]),
+            n_spanning_pairs=int(n_frag[j]),
+            span_rc=span_rc[lo:hi].astype(np.int64),
+            span_ind=span_ind[lo:hi].astype(np.int64),
+            med_depth=int(med[j]), expected=np.float32(expected[j]),
+        )
+    bam.close()
+    return out
+
+
+def collect_many_native(bam, bounds_list: list[Bounds], window: int,
+                        frag_sizes: np.ndarray, min_mapq: int = 20,
+                        max_size: int = 5000,
+                        threads: int = 2) -> dict[int, LocusSupport] | None:
+    """The per-locus collection loop in native code (csrc/collect_native.cc):
+    one BAI region query per locus, loci sharded across reader threads.
+    Returns None when the native library is unavailable (caller falls back
+    to the vectorized Python twin)."""
+    try:
+        from strling_tpu.io.bam import _load
+
+        _bind_collect(_load())
+    except Exception:
+        return None
+    if not bounds_list:
+        return {}
+    order = sorted(
+        range(len(bounds_list)),
+        key=lambda i: (bounds_list[i].tid, bounds_list[i].left),
+    )
+    cd = np.ascontiguousarray(cumulative(frag_sizes), np.float32)
+    T = max(1, min(threads, len(order)))
+    chunks = [
+        order[k * len(order) // T : (k + 1) * len(order) // T]
+        for k in range(T)
+    ]
+    chunks = [c for c in chunks if c]
+    results: dict[int, LocusSupport] = {}
+    if len(chunks) == 1:
+        results.update(_native_collect_chunk(
+            bam.path, bam.fasta, chunks[0], bounds_list, window, cd,
+            min_mapq, max_size))
+        return results
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(chunks)) as ex:
+        futs = [
+            ex.submit(_native_collect_chunk, bam.path, bam.fasta, c,
+                      bounds_list, window, cd, min_mapq, max_size)
+            for c in chunks
+        ]
+        for f in futs:
+            results.update(f.result())
+    return results
+
+
 #: merge nearby components into one streaming query when the gap between
 #: their windows is below this — random-access re-seeks decode overlapping
 #: BGZF blocks repeatedly, so for dense loci one sequential pass is much

@@ -17,7 +17,11 @@ from strling_tpu.core.collect import (
     spanners,
     spanners_many,
 )
-from strling_tpu.core.collect_batched import LocusSupport, collect_many
+from strling_tpu.core.collect_batched import (
+    LocusSupport,
+    collect_many,
+    collect_many_native,
+)
 from strling_tpu.core.genotyper import genotype, genotype_ls
 from strling_tpu.core.tread import TREAD_DTYPE
 from strling_tpu.io.bam import Bam
@@ -146,11 +150,15 @@ def test_collect_many_matches_spec_fuzz(tmp_path):
     window = 500
 
     got = collect_many(bam, loci, window, frag, min_mapq=20)
+    native = collect_many_native(bam, loci, window, frag, min_mapq=20)
+    assert native is not None
     want = spanners_many(bam, loci, window, frag, min_mapq=20)
-    assert set(got) == set(want) == set(range(len(loci)))
+    assert set(got) == set(want) == set(native) == set(range(len(loci)))
     for i in range(len(loci)):
         spans, med, exp = want[i]
-        _assert_ls_equal(got[i], _ls_from_spans(spans, med, exp), ctx=f"locus {i}")
+        ls = _ls_from_spans(spans, med, exp)
+        _assert_ls_equal(got[i], ls, ctx=f"locus {i} (vectorized)")
+        _assert_ls_equal(native[i], ls, ctx=f"locus {i} (native)")
 
 
 def test_collect_matches_spec_many_seeds(tmp_path):
@@ -165,8 +173,11 @@ def test_collect_matches_spec_many_seeds(tmp_path):
                    repeat="CAG")
         window = int(rng.integers(300, 700))
         spans, med, exp = spanners(bam, b, window, frag, min_mapq=20)
+        ls = _ls_from_spans(spans, med, exp)
         got = collect_many(bam, [b], window, frag, min_mapq=20)[0]
-        _assert_ls_equal(got, _ls_from_spans(spans, med, exp), ctx=f"seed {seed}")
+        _assert_ls_equal(got, ls, ctx=f"seed {seed} (vectorized)")
+        nat = collect_many_native(bam, [b], window, frag, min_mapq=20)[0]
+        _assert_ls_equal(nat, ls, ctx=f"seed {seed} (native)")
 
 
 def test_genotype_ls_matches_genotype(tmp_path):
