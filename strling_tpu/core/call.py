@@ -12,6 +12,7 @@ from strling_tpu.core.callclusters import TreadGroups, assign_reads_locus, bound
 from strling_tpu.core.cluster import (
     BOUNDS_HEADER,
     Bounds,
+    Cluster,
     cluster,
     parse_bed,
     parse_bounds,
@@ -200,19 +201,38 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
 
     # PASS B — novel clusters (call.nim:221-262): clustering consumes the
     # remaining treads (independent of support collection), then the same
-    # batched streaming pass over the discovered bounds.
+    # batched streaming pass over the discovered bounds. Production runs the
+    # segmented formulation (cluster_batched.py — segment ops over each
+    # whole (tid, repeat) group); the scalar cluster()+bounds_checked path
+    # is the executable spec (used by --debug, equivalence-tested).
+    from strling_tpu.core.cluster_batched import cluster_group_batched
+
     work_b = []
+    max_clip_dist = int(0.5 * float(fraglen.median(frag_dist, 0.5)))
     for (tid, repeat), (treads, names) in groups.items():
-        for c in cluster(treads, max_dist=opts.window,
-                         min_supporting_reads=opts.min_support, qnames=names):
-            if c.reads["tid"][0] == -1:
-                unplaced_counts[c.reads["repeat"][0].decode()] = len(c.reads)
-                continue
-            max_clip_dist = int(0.5 * float(fraglen.median(frag_dist, 0.5)))
-            b, good = bounds_checked(c, min_clip, min_clip_total, max_clip_dist)
-            if not good:
-                continue
-            work_b.append((b, c))
+        if len(treads) == 0:
+            continue
+        if debug:
+            for c in cluster(treads, max_dist=opts.window,
+                             min_supporting_reads=opts.min_support,
+                             qnames=names):
+                if c.reads["tid"][0] == -1:
+                    unplaced_counts[c.reads["repeat"][0].decode()] = len(c.reads)
+                    continue
+                b, good = bounds_checked(c, min_clip, min_clip_total,
+                                         max_clip_dist)
+                if not good:
+                    continue
+                work_b.append((b, c))
+            continue
+        if treads["tid"][0] < 0:
+            unplaced_counts[treads["repeat"][0].decode()] = len(treads)
+            continue
+        for b, rv, qv in cluster_group_batched(
+            treads, opts.window, opts.min_support, min_clip, min_clip_total,
+            max_clip_dist, names,
+        ):
+            work_b.append((b, Cluster(reads=rv, qnames=qv)))
     span_b = _spans_for(work_b)
     ci = 0
     for i, (b, c) in enumerate(work_b):

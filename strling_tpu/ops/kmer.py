@@ -434,8 +434,11 @@ def _committed(x) -> jnp.ndarray:
     genome index, benches) share ONE pjit cache entry per shape: committed
     and uncommitted inputs of the same shape compile as separate programs,
     which costs a full (remote, on axon) compile for no reason.
+
+    local_devices, not devices: in a multi-process (jax.distributed) run
+    the global list starts with another process's non-addressable device.
     """
-    return jax.device_put(x, jax.devices()[0])
+    return jax.device_put(x, jax.local_devices()[0])
 
 
 def _use_pallas() -> bool:

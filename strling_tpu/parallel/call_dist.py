@@ -37,10 +37,11 @@ from jax.experimental import multihost_utils
 from jax.sharding import Mesh, PartitionSpec as P
 
 from strling_tpu.core.call import oe_ratio
-from strling_tpu.core.callclusters import TreadGroups, assign_reads_locus, bounds_checked
-from strling_tpu.core.cluster import BOUNDS_HEADER, Bounds, cluster, parse_bed, parse_bounds
-from strling_tpu.core.collect import spanners
-from strling_tpu.core.genotyper import GT_HEADER, genotype, update_genotype
+from strling_tpu.core.callclusters import TreadGroups, assign_reads_locus
+from strling_tpu.core.cluster import BOUNDS_HEADER, Bounds, parse_bed, parse_bounds
+from strling_tpu.core.cluster_batched import cluster_group_batched
+from strling_tpu.core.collect_batched import collect_many, collect_many_native
+from strling_tpu.core.genotyper import GT_HEADER, genotype_ls, update_genotype
 from strling_tpu.io.bam import Bam
 from strling_tpu.io.binfmt import read_bin, same_targets
 from strling_tpu.ops.encode import canonical_repeat
@@ -184,7 +185,10 @@ def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,
         return work_i % nproc == pid
 
     # PASS A — provided loci (call.nim:189-218). assign_reads_locus mutates
-    # `groups`, so every process must replay every locus in order.
+    # `groups`, so every process must replay every locus in order; only the
+    # heavy support collection + genotype is sharded (and batched: one
+    # native collect over this process's share of loci).
+    my_work: list[tuple[int, Bounds, np.ndarray, object]] = []
     for bound in bounds_list:
         str_reads, str_qnames = assign_reads_locus(bound, groups)
         if bound.right - bound.left > 1000:
@@ -193,47 +197,43 @@ def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,
             continue
         wi = work_i
         work_i += 1
-        if not mine():
-            continue
-        spans, med_depth, expected = spanners(
-            bam, bound, opts.window, frag_dist, opts.min_mapq
-        )
-        if len(spans) > 5_000:
-            continue
-        if med_depth == -1:
-            continue
-        gt = genotype(bound, str_reads, str_qnames, spans, opts, float(med_depth))
-        gt.expected_spanning_fragments = expected
-        my_calls.append((wi, gt, bound.tostring(opts.targets) + "\t" +
-                         str(med_depth), canonical_repeat(bound.repeat)))
+        if mine():
+            my_work.append((wi, bound, str_reads, str_qnames))
 
-    # PASS B — novel clusters (call.nim:221-262). Clustering is deterministic
-    # and cheap relative to spanners; replay it everywhere, shard the rest.
+    # PASS B — novel clusters (call.nim:221-262). The segmented clustering
+    # (cluster_batched) is deterministic and replayed everywhere; the
+    # per-locus collection is sharded.
     max_clip_dist = int(0.5 * float(fraglen.median(frag_dist, 0.5)))
     for (tid, repeat), (treads, names) in groups.items():
-        for c in cluster(treads, max_dist=opts.window,
-                         min_supporting_reads=opts.min_support, qnames=names):
-            if c.reads["tid"][0] == -1:
-                unplaced_counts[c.reads["repeat"][0].decode()] = len(c.reads)
-                continue
-            b, good = bounds_checked(c, min_clip, min_clip_total, max_clip_dist)
-            if not good:
-                continue
+        if len(treads) == 0:
+            continue
+        if treads["tid"][0] < 0:
+            unplaced_counts[treads["repeat"][0].decode()] = len(treads)
+            continue
+        for b, rv, qv in cluster_group_batched(
+            treads, opts.window, opts.min_support, min_clip, min_clip_total,
+            max_clip_dist, names,
+        ):
             wi = work_i
             work_i += 1
-            if not mine():
-                continue
-            spans, med_depth, expected = spanners(
-                bam, b, opts.window, frag_dist, opts.min_mapq
-            )
-            if len(spans) > 5_000:
-                continue
-            if med_depth == -1:
-                continue
-            gt = genotype(b, c.reads, c.qnames, spans, opts, float(med_depth))
-            gt.expected_spanning_fragments = expected
-            my_calls.append((wi, gt, b.tostring(opts.targets) + "\t" +
-                             str(med_depth), canonical_repeat(b.repeat)))
+            if mine():
+                my_work.append((wi, b, rv, qv))
+
+    # batched support collection over this shard's loci, then genotype
+    my_bounds = [w[1] for w in my_work]
+    ls_map = collect_many_native(bam, my_bounds, opts.window, frag_dist,
+                                 opts.min_mapq)
+    if ls_map is None:
+        ls_map = collect_many(bam, my_bounds, opts.window, frag_dist,
+                              opts.min_mapq)
+    for j, (wi, b, rv, qv) in enumerate(my_work):
+        ls = ls_map[j]
+        if ls.n_support > 5_000 or ls.med_depth == -1:
+            continue
+        gt = genotype_ls(b, rv, qv, ls, opts, float(ls.med_depth))
+        gt.expected_spanning_fragments = ls.expected
+        my_calls.append((wi, gt, b.tostring(opts.targets) + "\t" +
+                         str(ls.med_depth), canonical_repeat(b.repeat)))
 
     # --- barrier 1: global O/E percentile on the mesh (call.nim:264) --------
     # split this process's calls round-robin over its local device slots so
