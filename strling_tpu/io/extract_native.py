@@ -122,8 +122,8 @@ class NativeExtractor:
 
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 60_000, Lmax: int | None = None,
-                 prefilter: bool = True):
+                 batch_records: int = 1_000_000, Lmax: int | None = None,
+                 prefilter: bool = True, rows_per_batch: int = 4096):
         self.lib = _lib()
         self.bam = bam
         # transfer width: the max read length (rounded up) bounds the packed
@@ -131,9 +131,13 @@ class NativeExtractor:
         self.Lmax = min(bam.Lmax, Lmax) if Lmax else bam.Lmax
         self.proportion_repeat = proportion_repeat
         self.batch_records = batch_records
-        # rows per batch target the largest kernel tier (32768): the engine
-        # stops a batch early if scan rows would exceed it
-        self.rows_cap = max(8, min(batch_records * 2, self.BUCKETS[-1]))
+        # batches are ROWS-driven: the engine cuts a batch when the next
+        # record would push scan rows past rows_cap, so every device batch
+        # fills its jit bucket almost exactly — on the tunneled chip the
+        # transfer is the bottleneck and bucket padding is pure waste
+        # (with the ~4% post-prefilter row rate one 4096-row batch carries
+        # ~100k records; batch_records is just a backstop)
+        self.rows_cap = max(8, min(rows_per_batch, self.BUCKETS[-1]))
         self._e = self.lib.sio_ex_create(
             bam._h, proportion_repeat, min_mapq, median_fragment_length, self.Lmax
         )
