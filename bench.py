@@ -12,6 +12,9 @@ Metrics (BASELINE.md):
                                      jax, in a subprocess): the rate the
                                      same code path reaches with no TPU
                                      tunnel in the loop
+  extract_engine_loop_reads_per_sec- the native engine's host loop alone
+                                     (no device in the loop): the host-side
+                                     ceiling for the e2e stage
   extract_e2e_reads_per_sec        - full native-engine->device->treads
                                      stage on the attached TPU
 
@@ -142,6 +145,45 @@ def _bench_bam(n_pairs: int, seed: int = 7) -> str:
     hdr = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrB\tLN:%d\n" % G
     write_bam(path, hdr, [("chrB", G)], recs)
     return path
+
+
+
+def bench_engine_loop(smoke: bool):
+    """The native extract engine's host loop alone (pop fused batches, feed
+    zero results — no device in the loop): the host-side ceiling for the
+    e2e stage. Distinct metric so the ledger never conflates it with
+    extract_e2e_reads_per_sec or extract_host_engine_reads_per_sec."""
+    import ctypes as C
+
+    from strling_tpu.io.bam import Bam
+    from strling_tpu.io.extract_native import (
+        NativeExtractor,
+        _lib,
+        native_frag_hist,
+    )
+    from strling_tpu.utils import fraglen
+
+    n_pairs = 5_000 if smoke else 250_000
+    path = _bench_bam(n_pairs)
+    lib = _lib()
+    best = 0.0
+    for _ in range(1 if smoke else 3):
+        bam = Bam(path)
+        hist, maxlen = native_frag_hist(bam, return_max_len=True)
+        med = fraglen.median(hist)
+        t0 = time.perf_counter()
+        ne = NativeExtractor(bam, 0.8, 40, med, Lmax=((maxlen + 7) // 8) * 8)
+        ne.set_median(med)
+        while True:
+            rows, nrec, payload, layout, ascii_rows = ne._next_fused()
+            if nrec > 0:
+                z = np.zeros(rows, np.int32)
+                lib.sio_ex_feed(ne._e, z, z, z, rows)
+            elif lib.sio_ex_done(ne._e):
+                break
+        best = max(best, 2 * n_pairs / (time.perf_counter() - t0))
+    emit("extract_engine_loop_reads_per_sec", best, "reads/s",
+         best / NIM_BASELINE_READS_PER_SEC)
 
 
 def bench_extract_e2e(smoke: bool):
@@ -393,7 +435,7 @@ def main():
     # flagship (extract e2e) runs last so the driver-parsed line is the lead
     # metric; secondary metrics must not mask it
     for fn in (bench_call, bench_outliers, bench_index, bench_host_engine,
-               bench_extract_e2e):
+               bench_engine_loop, bench_extract_e2e):
         try:
             fn(smoke)
         except Exception as e:
