@@ -25,6 +25,14 @@
 #include <thread>
 #include <unordered_map>
 
+// exact reference-detector scan (genome_scan.cc): the producer's
+// second-stage row filter — byte-faithful to ops/oracle.py get_repeat and
+// therefore to the device kernel (fuzz-tested there)
+extern "C" void* sio_scan_scratch_new();
+extern "C" void sio_scan_scratch_free(void*);
+extern "C" int sio_get_repeat_count(void*, const uint8_t*, int64_t, double);
+
+
 namespace {
 
 using sio::BamRec;
@@ -158,6 +166,13 @@ struct Engine {
 
   bool has_gi = false;
   bool prefilter = true;
+  // second-stage exact filter scratch (producer-thread only; the engine is
+  // never driven from two threads at once)
+  void* exact_scratch = nullptr;
+  void* exact_sc() {
+    if (!exact_scratch) exact_scratch = sio_scan_scratch_new();
+    return exact_scratch;
+  }
   std::vector<std::vector<int64_t>> gi_starts, gi_pmax;
 
   std::unordered_map<std::string, Tread> tbl;
@@ -215,7 +230,8 @@ struct Engine {
   int64_t prod_max_records = 0, prod_rows_cap = 0;
   static constexpr size_t MAX_READY = 3;
 
-  ~Engine() { stop_producer(); }
+  ~Engine() {
+    if (exact_scratch) sio_scan_scratch_free(exact_scratch); stop_producer(); }
 
   void stop_producer() {
     {
@@ -438,12 +454,21 @@ struct Engine {
         } else {
           decode_seq(r, &seq);
           decoded = true;
-          p.scan_row = rows;
-          memcpy(bases + rows * Lmax, seq.data(), L);
-          memset(bases + rows * Lmax + L, 0, Lmax - L);
-          lengths[rows] = L;
-          props[rows] = proportion_repeat;
-          rows++;
+          // second-stage EXACT filter: the dimer bound passes ~2x more
+          // rows than actually scan nonzero; the exact evaluation
+          // (identical to the kernel, ~1-2us) keeps them off the wire
+          if (prefilter &&
+              sio_get_repeat_count(exact_sc(), (const uint8_t*)seq.data(),
+                                   L, proportion_repeat) == 0) {
+            p.scan_row = -2;
+          } else {
+            p.scan_row = rows;
+            memcpy(bases + rows * Lmax, seq.data(), L);
+            memset(bases + rows * Lmax + L, 0, Lmax - L);
+            lengths[rows] = L;
+            props[rows] = proportion_repeat;
+            rows++;
+          }
         }
       }
       // soft-clip rows, two proportion variants each (extract.py phase A).
@@ -459,8 +484,18 @@ struct Engine {
             decoded = true;
           }
           int cl = std::min<int32_t>(p.lclip, Lmax);
-          if (prefilter &&
-              provably_zero((const uint8_t*)seq.data(), cl, clip_prop_min)) {
+          bool drop_l =
+              prefilter &&
+              provably_zero((const uint8_t*)seq.data(), cl, clip_prop_min);
+          if (!drop_l && prefilter) {
+            const uint8_t* cp = (const uint8_t*)seq.data();
+            drop_l = sio_get_repeat_count(
+                         exact_sc(), cp, cl,
+                         std::min(proportion_repeat, 0.6)) == 0 &&
+                     sio_get_repeat_count(exact_sc(), cp, cl,
+                                          proportion_repeat - 0.07) == 0;
+          }
+          if (drop_l) {
             // leave clip_row_l = -1: same handling as a <2bp clip
           } else {
             p.clip_row_l = rows;
@@ -480,9 +515,19 @@ struct Engine {
             decoded = true;
           }
           int cl = std::min<int32_t>(p.rclip, Lmax);
-          if (prefilter &&
+          bool drop_r =
+              prefilter &&
               provably_zero((const uint8_t*)seq.data() + L - cl, cl,
-                            clip_prop_min)) {
+                            clip_prop_min);
+          if (!drop_r && prefilter) {
+            const uint8_t* cp = (const uint8_t*)seq.data() + L - cl;
+            drop_r = sio_get_repeat_count(
+                         exact_sc(), cp, cl,
+                         std::min(proportion_repeat, 0.6)) == 0 &&
+                     sio_get_repeat_count(exact_sc(), cp, cl,
+                                          proportion_repeat - 0.07) == 0;
+          }
+          if (drop_r) {
             // leave clip_row_r = -1
           } else {
             p.clip_row_r = rows;

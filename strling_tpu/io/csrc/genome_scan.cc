@@ -159,6 +159,20 @@ static bool dimer_provably_zero(const uint8_t* s, int len, double prop) {
 
 extern "C" {
 
+// Reusable exact-scan scratch for callers that evaluate many sequences on
+// one thread (the extract engine's producer uses this as its second-stage
+// row filter; core/genome_index uses sio_genome_scan below).
+void* sio_scan_scratch_new() { return new ScanScratch(); }
+void sio_scan_scratch_free(void* s) { delete (ScanScratch*)s; }
+
+// Exact reference-detector count for one sequence (0 == not STR-like);
+// byte-faithful to ops/oracle.py get_repeat (fuzz-tested) and therefore to
+// the device kernel.
+int sio_get_repeat_count(void* scratch, const uint8_t* s, int64_t len,
+                         double prop) {
+  return get_repeat_count(s, (int)len, prop, *(ScanScratch*)scratch);
+}
+
 // For each window of `window` bases at stride `step` over the ASCII
 // chromosome, set zero_mask=1 when the reference detector provably (and now
 // exactly) returns repeat_count==0: dimer bound first, exact get_repeat on
