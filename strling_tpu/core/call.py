@@ -157,7 +157,8 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
                                   opts.min_mapq)
         if got is not None:
             return got
-        return collect_many(bam, bl, opts.window, frag_dist, opts.min_mapq)
+        return collect_many(bam, bl, opts.window, frag_dist,
+                            opts.min_mapq, with_rc=False)
 
     def _genotype_one(res, bound, str_reads, str_qnames):
         """Shared guard + genotype step; returns (gt, med_depth, spans|None)

@@ -413,23 +413,15 @@ def spanners_many(bam, bounds_list: list[Bounds], window: int,
     Returns {index -> (support, med_depth, expected)} with results
     identical to per-locus `spanners` (window membership is masked with
     query semantics inside)."""
-    items = sorted(
-        range(len(bounds_list)),
-        key=lambda i: (bounds_list[i].tid, bounds_list[i].left),
-    )
-    results: dict[int, tuple] = {}
-    region: list[int] = []
-    region_end = -1
-    region_tid = -1
+    from strling_tpu.core.collect_batched import iter_components
 
-    def flush():
-        if not region:
-            return
+    results: dict[int, tuple] = {}
+    for region_tid, region in iter_components(bounds_list, window):
         if len(region) == 1:
             i = region[0]
             results[i] = spanners(bam, bounds_list[i], window, frag_sizes,
                                   min_mapq)
-            return
+            continue
         rl = max(0, min(bounds_list[i].left for i in region) - window)
         rr = max(bounds_list[i].right + window for i in region)
         batches = []
@@ -443,17 +435,4 @@ def spanners_many(bam, bounds_list: list[Bounds], window: int,
         for i in region:
             results[i] = spanners(bam, bounds_list[i], window, frag_sizes,
                                   min_mapq, batches=batches)
-
-    for i in items:
-        b = bounds_list[i]
-        wl, wr = b.left - window, b.right + window
-        if region and b.tid == region_tid and wl <= region_end:
-            region.append(i)
-            region_end = max(region_end, wr)
-        else:
-            flush()
-            region = [i]
-            region_end = wr
-            region_tid = b.tid
-    flush()
     return results

@@ -243,13 +243,17 @@ def _find_read_positions(comp: _Component, idx: np.ndarray,
 
 
 def _spanning_read_rows(comp: _Component, span_idx: np.ndarray,
-                        bounds: Bounds) -> tuple[np.ndarray, np.ndarray]:
+                        bounds: Bounds,
+                        with_rc: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """repeat-count and indel columns for the locus's spanning reads, in
-    read order (collect.nim:74-92,96-116)."""
+    read order (collect.nim:74-92,96-116). genotype consumes only the indel
+    column (the rc modes are computed-but-unused in the reference's
+    genotyper), so production callers pass with_rc=False and skip the
+    CIGAR projection + substring count; the equivalence tests keep it on."""
     n = len(span_idx)
     rc = np.zeros(n, np.int64)
     ind = (comp.ins8[span_idx] - comp.del8[span_idx]).astype(np.int64)
-    if bounds.right < bounds.left or n == 0:  # collect.nim:75
+    if not with_rc or bounds.right < bounds.left or n == 0:  # collect.nim:75
         return rc, ind
     # one fused projection call for both edges (halves the call overhead)
     both = _find_read_positions(
@@ -282,8 +286,8 @@ def _spanning_read_rows(comp: _Component, span_idx: np.ndarray,
 
 
 def _collect_one(comp: _Component, b: Bounds, window: int, cd: np.ndarray,
-                 frag_sizes: np.ndarray, min_mapq: int,
-                 max_size: int) -> LocusSupport:
+                 frag_sizes: np.ndarray, min_mapq: int, max_size: int,
+                 with_rc: bool = True) -> LocusSupport:
     wl = b.left - window
     wr = b.right + window
     ls = LocusSupport()
@@ -362,7 +366,8 @@ def _collect_one(comp: _Component, b: Bounds, window: int, cd: np.ndarray,
     spanning = overlap & (start < (b.left - slop)) & (stop > (b.right + slop))
     span_idx = k[spanning]
     ls.n_spanning_reads = len(span_idx)
-    ls.span_rc, ls.span_ind = _spanning_read_rows(comp, span_idx, b)
+    ls.span_rc, ls.span_ind = _spanning_read_rows(comp, span_idx, b,
+                                                  with_rc=with_rc)
 
     # complete pairs -> spanning fragments (collect.nim:36-48,167-179)
     pair_ok = (comp.tid[k] == comp.mate_tid[k]) & (
@@ -431,12 +436,13 @@ def _bind_collect(lib):
             C.c_char_p, C.c_int64, P(np.float32), C.c_int64, C.c_int32,
             C.c_int32, P(np.int32), P(np.int32), P(np.int32), P(np.int32),
             P(np.float32), C.c_int64, P(np.int64), P(np.uint8), P(np.int32),
+            C.c_int32,
         ]
         lib.sio_collect_many._bound = True
 
 
 def _native_collect_chunk(bam_path, fasta, idxs, bounds_list, window, cd,
-                          min_mapq, max_size):
+                          min_mapq, max_size, with_rc):
     """One thread's contiguous slice of loci through sio_collect_many
     (its own reader handle; the ctypes call releases the GIL)."""
     from strling_tpu.io.bam import Bam, _load
@@ -464,7 +470,7 @@ def _native_collect_chunk(bam_path, fasta, idxs, bounds_list, window, cd,
         rc = lib.sio_collect_many(
             bam._h, n, ltid, lleft, lright, lrep, window, cd, len(cd),
             min_mapq, max_size, n_support, n_span, n_frag, med, expected,
-            span_cap, span_off, span_rc, span_ind,
+            span_cap, span_off, span_rc, span_ind, 1 if with_rc else 0,
         )
         if rc == -2:
             span_cap *= 4
@@ -488,8 +494,8 @@ def _native_collect_chunk(bam_path, fasta, idxs, bounds_list, window, cd,
 
 def collect_many_native(bam, bounds_list: list[Bounds], window: int,
                         frag_sizes: np.ndarray, min_mapq: int = 20,
-                        max_size: int = 5000,
-                        threads: int = 2) -> dict[int, LocusSupport] | None:
+                        max_size: int = 5000, threads: int = 2,
+                        with_rc: bool = False) -> dict[int, LocusSupport] | None:
     """The per-locus collection loop in native code (csrc/collect_native.cc):
     one BAI region query per locus, loci sharded across reader threads.
     Returns None when the native library is unavailable (caller falls back
@@ -517,14 +523,14 @@ def collect_many_native(bam, bounds_list: list[Bounds], window: int,
     if len(chunks) == 1:
         results.update(_native_collect_chunk(
             bam.path, bam.fasta, chunks[0], bounds_list, window, cd,
-            min_mapq, max_size))
+            min_mapq, max_size, with_rc))
         return results
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(len(chunks)) as ex:
         futs = [
             ex.submit(_native_collect_chunk, bam.path, bam.fasta, c,
-                      bounds_list, window, cd, min_mapq, max_size)
+                      bounds_list, window, cd, min_mapq, max_size, with_rc)
             for c in chunks
         ]
         for f in futs:
@@ -570,7 +576,8 @@ def _iter_super_regions(bounds_list: list[Bounds], window: int):
 
 def collect_many(bam, bounds_list: list[Bounds], window: int,
                  frag_sizes: np.ndarray, min_mapq: int = 20,
-                 max_size: int = 5000) -> dict[int, LocusSupport]:
+                 max_size: int = 5000,
+                 with_rc: bool = True) -> dict[int, LocusSupport]:
     """Batched replacement for collect.spanners_many on the non-debug call
     path: one streaming BAM pass per super-region of nearby locus windows,
     all per-locus quantities computed vectorized. Result fields are
@@ -579,7 +586,8 @@ def collect_many(bam, bounds_list: list[Bounds], window: int,
     results: dict[int, LocusSupport] = {}
     for tid, region, rl, rr in _iter_super_regions(bounds_list, window):
         _collect_region(bam, bounds_list, tid, region, rl, rr, window, cd,
-                        frag_sizes, min_mapq, max_size, results)
+                        frag_sizes, min_mapq, max_size, results,
+                        with_rc=with_rc)
     return results
 
 
@@ -588,7 +596,8 @@ CHUNK_READS = 131_072
 
 
 def _collect_region(bam, bounds_list, tid, region, rl, rr, window, cd,
-                    frag_sizes, min_mapq, max_size, results):
+                    frag_sizes, min_mapq, max_size, results,
+                    with_rc=True):
     """ONE streaming pass over the region: buffer batches, and whenever the
     buffer is full process every locus whose window lies entirely behind the
     stream frontier (pos-sorted stream: no future read can be a member).
@@ -638,7 +647,8 @@ def _collect_region(bam, bounds_list, tid, region, rl, rr, window, cd,
         comp = _Component(buf, masks)
         for i in take:
             results[i] = _collect_one(comp, bounds_list[i], window, cd,
-                                      frag_sizes, min_mapq, max_size)
+                                      frag_sizes, min_mapq, max_size,
+                                      with_rc=with_rc)
         if rem:
             next_wl = min(max(0, bounds_list[i].left - window) for i in rem)
             buf = [

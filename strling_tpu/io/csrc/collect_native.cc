@@ -14,6 +14,7 @@
 // The caller may shard loci across threads with separate handles — this
 // function holds no global state and releases the GIL via ctypes.
 
+#include "sio_util.h"
 #include "strling_io.h"
 
 using sio::BamRec;
@@ -61,21 +62,6 @@ static int64_t find_read_position(const BamRec& r, int64_t position) {
   return -1;
 }
 
-// greedy non-overlapping count (Nim strutils.count / Python str.count)
-static int count_nonoverlapping(const char* s, int64_t n, const char* pat,
-                                int64_t k) {
-  int count = 0;
-  int64_t i = 0;
-  while (i + k <= n) {
-    if (memcmp(s + i, pat, (size_t)k) == 0) {
-      count++;
-      i += k;
-    } else {
-      i++;
-    }
-  }
-  return count;
-}
 
 // utils.nim:148-158 median with values clamped to 1047
 static int32_t median_depth(const std::vector<int64_t>& depths) {
@@ -119,7 +105,7 @@ int64_t sio_collect_many(
     int32_t max_size, int32_t* out_n_support, int32_t* out_n_span_reads,
     int32_t* out_n_frag, int32_t* out_med_depth, float* out_expected,
     int64_t span_cap, int64_t* span_off, uint8_t* out_span_rc,
-    int32_t* out_span_ind) {
+    int32_t* out_span_ind, int32_t want_rc) {
   auto* h = (sio::Handle*)vh;
   Reader* rd = h->rd;
 
@@ -206,7 +192,12 @@ int64_t sio_collect_many(
           // spanning read row: repeat count + uint8-wrapped indel sums
           if (span_n >= span_cap) return -2;
           uint8_t rc8 = 0;
-          if (right >= left) {
+          // genotype reads only the indel column and the class counts
+          // (genotyper.nim:62-95 uses the indel modes; the repeat-count
+          // modes are computed but unused) — the per-read seq decode +
+          // CIGAR projection is skipped unless the caller wants the rc
+          // column (the equivalence tests do)
+          if (want_rc && right >= left) {
             int64_t rl = find_read_position(r, left);
             int64_t rr = find_read_position(r, right);
             // decode 4-bit seq to ASCII lazily (only spanning reads)
@@ -223,7 +214,8 @@ int64_t sio_collect_many(
                 sl = (int64_t)dna.size() - rl;
               int c = 0;
               if (sl > 0 && replen > 0)
-                c = count_nonoverlapping(dna.data() + rl, sl, rep, replen);
+                c = sio_util::count_nonoverlapping(
+                    (const uint8_t*)dna.data() + rl, sl, rep, replen);
               if (replen > 0 &&
                   c < (int)((double)sl * 0.7 / (double)replen))  // purity
                 c = 0;

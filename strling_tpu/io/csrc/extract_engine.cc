@@ -231,7 +231,9 @@ struct Engine {
   static constexpr size_t MAX_READY = 3;
 
   ~Engine() {
-    if (exact_scratch) sio_scan_scratch_free(exact_scratch); stop_producer(); }
+    stop_producer();  // join the producer FIRST: it uses exact_scratch
+    if (exact_scratch) sio_scan_scratch_free(exact_scratch);
+  }
 
   void stop_producer() {
     {

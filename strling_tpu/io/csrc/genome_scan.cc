@@ -21,6 +21,8 @@
 //   score with early exit, exact non-overlapping ASCII substring recount
 //   (N breaks matches there), proportion threshold.
 
+#include "sio_util.h"
+
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
@@ -35,10 +37,13 @@ constexpr char kDigit[4] = {'A', 'C', 'T', 'G'};
 
 struct ScanScratch {
   // per-thread modal-count histogram with epoch versioning so it never
-  // needs clearing (code space is 4^k <= 4096 for k <= 6)
+  // needs clearing (code space is 4^k <= 4096 for k <= 6). Epochs are
+  // 64-bit: the extract engine keeps one scratch for a whole run, and a
+  // 32-bit counter would wrap after ~860M evaluations and resurrect
+  // stale counts (silently dropping real STR rows).
   uint32_t counts[4096];
-  uint32_t epoch[4096];
-  uint32_t cur = 0;
+  uint64_t epoch[4096];
+  uint64_t cur = 0;
   ScanScratch() {
     memset(counts, 0, sizeof(counts));
     memset(epoch, 0xFF, sizeof(epoch));
@@ -86,23 +91,7 @@ static int modal_window_code(const uint8_t* s, int n, int k, ScanScratch& sc,
   return imax == -1 ? 0 : (int)imax_count;
 }
 
-// Nim strutils.count / Python str.count: greedy non-overlapping occurrences
-// of pat (length k) in s[0:n], matched at the ASCII level (so 'N' in the
-// window never matches the decoded ACGT unit — utils.nim:254).
-static int count_nonoverlapping(const uint8_t* s, int n, const char* pat,
-                                int k) {
-  int count = 0;
-  int i = 0;
-  while (i + k <= n) {
-    if (memcmp(s + i, pat, (size_t)k) == 0) {
-      count++;
-      i += k;
-    } else {
-      i++;
-    }
-  }
-  return count;
-}
+using sio_util::count_nonoverlapping;
 
 // Exact port of oracle.get_repeat (utils.nim:236-271) returning only the
 // final repeat_count (0 == window is not STR-like). The homopolymer

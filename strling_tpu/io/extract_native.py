@@ -122,7 +122,7 @@ class NativeExtractor:
 
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
-                 batch_records: int = 1_000_000, Lmax: int | None = None,
+                 batch_records: int = 200_000, Lmax: int | None = None,
                  prefilter: bool = True, rows_per_batch: int = 4096):
         self.lib = _lib()
         self.bam = bam
@@ -135,8 +135,10 @@ class NativeExtractor:
         # record would push scan rows past rows_cap, so every device batch
         # fills its jit bucket almost exactly — on the tunneled chip the
         # transfer is the bottleneck and bucket padding is pure waste
-        # (with the ~4% post-prefilter row rate one 4096-row batch carries
-        # ~100k records; batch_records is just a backstop)
+        # (with the ~2-3% post-exact-filter row rate one 4096-row batch
+        # carries ~100-200k records; batch_records is a memory backstop —
+        # a Pending record is ~110B + a qname, so the cap bounds a
+        # row-starved stretch at ~25MB buffered per produced batch)
         self.rows_cap = max(8, min(rows_per_batch, self.BUCKETS[-1]))
         self._e = self.lib.sio_ex_create(
             bam._h, proportion_repeat, min_mapq, median_fragment_length, self.Lmax

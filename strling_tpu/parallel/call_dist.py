@@ -225,7 +225,7 @@ def run_call_dist(bam_path: str, bin_path: str, fasta: str | None = None,
                                  opts.min_mapq)
     if ls_map is None:
         ls_map = collect_many(bam, my_bounds, opts.window, frag_dist,
-                              opts.min_mapq)
+                              opts.min_mapq, with_rc=False)
     for j, (wi, b, rv, qv) in enumerate(my_work):
         ls = ls_map[j]
         if ls.n_support > 5_000 or ls.med_depth == -1:

@@ -150,7 +150,8 @@ def test_collect_many_matches_spec_fuzz(tmp_path):
     window = 500
 
     got = collect_many(bam, loci, window, frag, min_mapq=20)
-    native = collect_many_native(bam, loci, window, frag, min_mapq=20)
+    native = collect_many_native(bam, loci, window, frag, min_mapq=20,
+                                 with_rc=True)
     assert native is not None
     want = spanners_many(bam, loci, window, frag, min_mapq=20)
     assert set(got) == set(want) == set(native) == set(range(len(loci)))
@@ -176,7 +177,8 @@ def test_collect_matches_spec_many_seeds(tmp_path):
         ls = _ls_from_spans(spans, med, exp)
         got = collect_many(bam, [b], window, frag, min_mapq=20)[0]
         _assert_ls_equal(got, ls, ctx=f"seed {seed} (vectorized)")
-        nat = collect_many_native(bam, [b], window, frag, min_mapq=20)[0]
+        nat = collect_many_native(bam, [b], window, frag, min_mapq=20,
+                                  with_rc=True)[0]
         _assert_ls_equal(nat, ls, ctx=f"seed {seed} (native)")
 
 
