@@ -244,7 +244,7 @@ def _find_read_positions(comp: _Component, idx: np.ndarray,
 
 def _spanning_read_rows(comp: _Component, span_idx: np.ndarray,
                         bounds: Bounds,
-                        with_rc: bool = True) -> tuple[np.ndarray, np.ndarray]:
+                        with_rc: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """repeat-count and indel columns for the locus's spanning reads, in
     read order (collect.nim:74-92,96-116). genotype consumes only the indel
     column (the rc modes are computed-but-unused in the reference's
@@ -287,7 +287,7 @@ def _spanning_read_rows(comp: _Component, span_idx: np.ndarray,
 
 def _collect_one(comp: _Component, b: Bounds, window: int, cd: np.ndarray,
                  frag_sizes: np.ndarray, min_mapq: int, max_size: int,
-                 with_rc: bool = True) -> LocusSupport:
+                 with_rc: bool = False) -> LocusSupport:
     wl = b.left - window
     wr = b.right + window
     ls = LocusSupport()
@@ -577,7 +577,7 @@ def _iter_super_regions(bounds_list: list[Bounds], window: int):
 def collect_many(bam, bounds_list: list[Bounds], window: int,
                  frag_sizes: np.ndarray, min_mapq: int = 20,
                  max_size: int = 5000,
-                 with_rc: bool = True) -> dict[int, LocusSupport]:
+                 with_rc: bool = False) -> dict[int, LocusSupport]:
     """Batched replacement for collect.spanners_many on the non-debug call
     path: one streaming BAM pass per super-region of nearby locus windows,
     all per-locus quantities computed vectorized. Result fields are
@@ -597,7 +597,7 @@ CHUNK_READS = 131_072
 
 def _collect_region(bam, bounds_list, tid, region, rl, rr, window, cd,
                     frag_sizes, min_mapq, max_size, results,
-                    with_rc=True):
+                    with_rc=False):
     """ONE streaming pass over the region: buffer batches, and whenever the
     buffer is full process every locus whose window lies entirely behind the
     stream frontier (pos-sorted stream: no future read can be a member).

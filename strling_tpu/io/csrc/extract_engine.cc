@@ -289,6 +289,16 @@ struct Engine {
     return mx;
   }
 
+  // exact clip drop: the two phase-A device rows for a clip carry
+  // proportions min(pr, 0.6) and pr - 0.07 (see the pack sites below);
+  // the clip is droppable iff the reference detector returns 0 at BOTH
+  bool clip_exact_zero(const uint8_t* cp, int cl) {
+    return sio_get_repeat_count(exact_sc(), cp, cl,
+                                std::min(proportion_repeat, 0.6)) == 0 &&
+           sio_get_repeat_count(exact_sc(), cp, cl,
+                                proportion_repeat - 0.07) == 0;
+  }
+
   bool provably_zero(const uint8_t* s, int len, double prop) const {
     return max_dimer_count(s, len) <= (int)(int64_t)((double)len * prop / 6.0);
   }
@@ -486,18 +496,9 @@ struct Engine {
             decoded = true;
           }
           int cl = std::min<int32_t>(p.lclip, Lmax);
-          bool drop_l =
-              prefilter &&
-              provably_zero((const uint8_t*)seq.data(), cl, clip_prop_min);
-          if (!drop_l && prefilter) {
-            const uint8_t* cp = (const uint8_t*)seq.data();
-            drop_l = sio_get_repeat_count(
-                         exact_sc(), cp, cl,
-                         std::min(proportion_repeat, 0.6)) == 0 &&
-                     sio_get_repeat_count(exact_sc(), cp, cl,
-                                          proportion_repeat - 0.07) == 0;
-          }
-          if (drop_l) {
+          const uint8_t* cpl = (const uint8_t*)seq.data();
+          if (prefilter && (provably_zero(cpl, cl, clip_prop_min) ||
+                            clip_exact_zero(cpl, cl))) {
             // leave clip_row_l = -1: same handling as a <2bp clip
           } else {
             p.clip_row_l = rows;
@@ -517,19 +518,9 @@ struct Engine {
             decoded = true;
           }
           int cl = std::min<int32_t>(p.rclip, Lmax);
-          bool drop_r =
-              prefilter &&
-              provably_zero((const uint8_t*)seq.data() + L - cl, cl,
-                            clip_prop_min);
-          if (!drop_r && prefilter) {
-            const uint8_t* cp = (const uint8_t*)seq.data() + L - cl;
-            drop_r = sio_get_repeat_count(
-                         exact_sc(), cp, cl,
-                         std::min(proportion_repeat, 0.6)) == 0 &&
-                     sio_get_repeat_count(exact_sc(), cp, cl,
-                                          proportion_repeat - 0.07) == 0;
-          }
-          if (drop_r) {
+          const uint8_t* cpr = (const uint8_t*)seq.data() + L - cl;
+          if (prefilter && (provably_zero(cpr, cl, clip_prop_min) ||
+                            clip_exact_zero(cpr, cl))) {
             // leave clip_row_r = -1
           } else {
             p.clip_row_r = rows;

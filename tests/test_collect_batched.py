@@ -149,7 +149,7 @@ def test_collect_many_matches_spec_fuzz(tmp_path):
     bam = Bam(bam_path)
     window = 500
 
-    got = collect_many(bam, loci, window, frag, min_mapq=20)
+    got = collect_many(bam, loci, window, frag, min_mapq=20, with_rc=True)
     native = collect_many_native(bam, loci, window, frag, min_mapq=20,
                                  with_rc=True)
     assert native is not None
@@ -175,7 +175,8 @@ def test_collect_matches_spec_many_seeds(tmp_path):
         window = int(rng.integers(300, 700))
         spans, med, exp = spanners(bam, b, window, frag, min_mapq=20)
         ls = _ls_from_spans(spans, med, exp)
-        got = collect_many(bam, [b], window, frag, min_mapq=20)[0]
+        got = collect_many(bam, [b], window, frag, min_mapq=20,
+                           with_rc=True)[0]
         _assert_ls_equal(got, ls, ctx=f"seed {seed} (vectorized)")
         nat = collect_many_native(bam, [b], window, frag, min_mapq=20,
                                   with_rc=True)[0]
@@ -193,7 +194,8 @@ def test_genotype_ls_matches_genotype(tmp_path):
     window = 500
     spans, med, exp = spanners(bam, b, window, frag, min_mapq=20)
     assert med != -1 and len(spans) > 0
-    got_ls = collect_many(bam, [b], window, frag, min_mapq=20)[0]
+    got_ls = collect_many(bam, [b], window, frag, min_mapq=20,
+                          with_rc=True)[0]
 
     tandems = np.zeros(7, TREAD_DTYPE)
     tandems["repeat_count"] = rng.integers(1, 45, 7)
@@ -213,7 +215,8 @@ def test_genotype_ls_matches_genotype(tmp_path):
     # empty-support branch (allele1 NaN quirk)
     b2 = Bounds(tid=0, left=5_000_000, right=5_000_010, repeat="CAG")
     spans2, med2, exp2 = spanners(bam, b2, window, frag, min_mapq=20)
-    ls2 = collect_many(bam, [b2], window, frag, min_mapq=20)[0]
+    ls2 = collect_many(bam, [b2], window, frag, min_mapq=20,
+                       with_rc=True)[0]
     a2 = genotype(b2, tandems, qn, spans2, opts, float(med2))
     c2 = genotype_ls(b2, tandems, qn, ls2, opts, float(ls2.med_depth))
     assert a2.tostring() == c2.tostring()
@@ -250,3 +253,31 @@ def test_run_call_batched_matches_debug_spec(tmp_path):
         prod = open(str(tmp_path / "prod") + suffix, "rb").read()
         spec = open(str(tmp_path / "spec") + suffix, "rb").read()
         assert prod == spec, suffix
+
+
+def test_collect_production_config_matches_spec(tmp_path):
+    """The shipped configuration (with_rc=False on both twins) must match
+    the spec on every field EXCEPT span_rc (which it intentionally zeros):
+    a regression inside the native want_rc skip branch must not hide
+    behind the rc-enabled unit tests."""
+    rng = np.random.default_rng(31)
+    recs = _rand_reads(rng, 320, 48_000, 52_500)
+    bam_path = _mk_bam(tmp_path, recs)
+    frag = _frag_sizes(rng)
+    bam = Bam(bam_path)
+    b = Bounds(tid=0, left=50_000, right=50_040, repeat="CAG")
+    spans, med, exp = spanners(bam, b, 500, frag, min_mapq=20)
+    want = _ls_from_spans(spans, med, exp)
+    for got in (
+        collect_many(bam, [b], 500, frag, min_mapq=20)[0],
+        collect_many_native(bam, [b], 500, frag, min_mapq=20)[0],
+    ):
+        assert got.n_support == want.n_support
+        assert got.n_spanning_reads == want.n_spanning_reads
+        assert got.n_spanning_pairs == want.n_spanning_pairs
+        assert got.med_depth == want.med_depth
+        np.testing.assert_array_equal(got.span_ind, want.span_ind)
+        assert np.float32(got.expected).tobytes() == np.float32(
+            want.expected).tobytes()
+        assert not got.span_rc.any()
+
