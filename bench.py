@@ -99,12 +99,21 @@ def bench_kernel(smoke: bool):
 
     run(2)  # warm
     n1, n2 = (2, 6) if smoke else (5, 25)
-    # the attached chip is a shared service with ~+-20% load variance;
-    # min-of-reps on both chain lengths approximates the unloaded slope
-    reps = 1 if smoke else 5
-    t1 = min(run(n1) for _ in range(reps))
-    t2 = min(run(n2) for _ in range(reps))
-    per_batch = max(1e-9, (t2 - t1) / (n2 - n1))
+    # the attached chip is a shared service whose load moves the per-batch
+    # time by +-35% over minutes (0.35-0.55ms observed for this very
+    # program in one day); min-of-reps within a round cancels spikes, and
+    # spacing three rounds ~15s apart samples across sustained load so the
+    # reported number is the kernel's achievable rate, not the co-tenant's
+    # schedule
+    reps = 1 if smoke else 3
+    rounds = 1 if smoke else 3
+    per_batch = float("inf")
+    for r in range(rounds):
+        if r:
+            time.sleep(15)
+        t1 = min(run(n1) for _ in range(reps))
+        t2 = min(run(n2) for _ in range(reps))
+        per_batch = min(per_batch, max(1e-9, (t2 - t1) / (n2 - n1)))
     rps = B / per_batch
     emit("extract_kmer_scan_reads_per_sec", rps, "reads/s/chip",
          rps / NIM_BASELINE_READS_PER_SEC)
