@@ -164,3 +164,57 @@ def test_pallas_packed_n8_matches_ascii():
                                  packed=True)
     for x, y in zip(a, p):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sorted_modal_alternative_matches_oracle():
+    """STRLING_MODAL_IMPL=sorted (the bitonic modal counter) must stay
+    green: run a small batch through the kernel in a subprocess with the
+    env set and compare against the oracle."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import os, sys
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, os.environ["STRLING_REPO"])
+        from strling_tpu.ops import oracle
+        from strling_tpu.ops.kmer import _host_thresholds
+        from strling_tpu.ops.kmer_pallas import (
+            MODAL_IMPL,
+            get_repeat_device_pallas,
+            unpack_unit_codes,
+        )
+        assert MODAL_IMPL == "sorted"
+        rng = np.random.default_rng(5)
+        alpha = np.frombuffer(b"ACGT", np.uint8)
+        B, L = 1024, 96
+        bases = alpha[rng.integers(0, 4, (B, L))]
+        units = [b"CAG", b"AT", b"AAGGG", b"A", b"CTGGAA"]
+        for i in range(0, B, 5):
+            u = units[i % len(units)]
+            bases[i] = np.frombuffer((u * (L // len(u) + 1))[:L], np.uint8)
+        lengths = np.full(B, L, np.int32)
+        lengths[::7] = 64
+        te, tp = _host_thresholds(lengths, np.full(B, 0.8))
+        code, ulen, cnt = get_repeat_device_pallas(
+            bases, lengths, te, tp, interpret=True)
+        units_out = unpack_unit_codes(np.asarray(code), np.asarray(ulen))
+        for i in range(B):
+            want_u, want_c = oracle.get_repeat(
+                bases[i, : lengths[i]].tobytes().decode(), 0.8)
+            assert units_out[i] == want_u, (i, units_out[i], want_u)
+            assert int(cnt[i]) == want_c, (i, int(cnt[i]), want_c)
+        print("sorted-modal ok")
+    """)
+    env = dict(os.environ)
+    env["STRLING_MODAL_IMPL"] = "sorted"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["STRLING_REPO"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "sorted-modal ok" in out.stdout
