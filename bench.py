@@ -335,12 +335,21 @@ def bench_outliers(smoke: bool):
     from strling_tpu.core.outliers import hubers_est_batch
 
     hubers_est_batch(X[: min(L, 256)])  # warm numpy
-    t0 = time.perf_counter()
-    mu, sd, method = hubers_est_batch(X)
-    dt = time.perf_counter() - t0
+    # min-of-N protocol (same rationale as the kernel bench): the 2-core VM
+    # is shared, and a co-tenant burst during the single timed run moved the
+    # r4 record by ~20% on an unchanged code path. Min over several spaced
+    # runs reports the path's achievable rate, not the co-tenant's schedule.
+    reps = 1 if smoke else 5
+    dt = float("inf")
+    for r in range(reps):
+        if r:
+            time.sleep(2)
+        t0 = time.perf_counter()
+        mu, sd, method = hubers_est_batch(X)
+        dt = min(dt, time.perf_counter() - t0)
     lps = L / dt
     emit("outliers_loci_per_sec", lps, "loci/s", lps / 1000.0)
-    print(f"# outliers L={L} S={S} dt={dt*1e3:.0f}ms huber="
+    print(f"# outliers L={L} S={S} dt={dt*1e3:.0f}ms min-of-{reps} huber="
           f"{int((method == 'Huber').sum())}", file=sys.stderr)
 
 

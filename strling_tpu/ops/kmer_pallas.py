@@ -118,6 +118,53 @@ def _modal_sorted(wmin, validw, widx, W, TB):
     return modal, kcount
 
 
+def _modal_pairwise(wmin, validw, widx, W, TB, tot_s, aft_s, k):
+    """Triangular packed NE-counting (see the call site for semantics).
+
+    SWAR field layout per i32 lane: k==3 packs FOUR reads in 8-bit fields
+    (codes < 64, sentinels 64+widx <= 113 < 128, counts <= W-1 < 127 — no
+    field ever reaches its halfword bit), other ks pack two reads in 16-bit
+    fields. The "differs" bit per field comes from one add + mask: v + (2^
+    (fb-1)-1) sets bit fb-1 iff v > 0, with no cross-field carry since
+    v <= 2^(fb-1)-1 and counts stay below 2^(fb-1)."""
+    nf = 4 if k == 3 else 2
+    fb = 32 // nf
+    TBF = TB // nf
+    addc = 0
+    nemask = 0
+    for f in range(nf):
+        addc |= ((1 << (fb - 1)) - 1) << (f * fb)
+        nemask |= 1 << (f * fb)
+    sent = jnp.where(validw, wmin, (1 << (2 * k)) + widx)
+    parts = [jax.lax.slice(sent, (0, f * TBF), (W, (f + 1) * TBF))
+             for f in range(nf)]
+    pw = parts[0]
+    for f in range(1, nf):
+        pw = pw | (parts[f] << (f * fb))
+    tot_s[:W, :TBF] = jnp.zeros((W, TBF), jnp.int32)
+    aft_s[:W, :TBF] = jnp.zeros((W, TBF), jnp.int32)
+    for i in range(W - 1):
+        row = jax.lax.slice(pw, (i, 0), (i + 1, TBF))
+        rest = jax.lax.slice(pw, (i + 1, 0), (W, TBF))
+        x = rest ^ row
+        t = x + addc
+        # arithmetic shift sign-fill only touches bits above the highest
+        # mask bit (f_max*fb), so the & keeps exactly the per-field ne flags
+        nep = (t >> (fb - 1)) & nemask
+        tot_s[i + 1:W, :TBF] = tot_s[i + 1:W, :TBF] + nep
+        s = jnp.sum(nep, axis=0, keepdims=True)
+        aft_s[i:i + 1, :TBF] = s
+        tot_s[i:i + 1, :TBF] = tot_s[i:i + 1, :TBF] + s
+    tot_p = tot_s[:W, :TBF]
+    aft_p = aft_s[:W, :TBF]
+    fm = (1 << fb) - 1
+    tot_ne = jnp.concatenate(
+        [(tot_p >> (f * fb)) & fm for f in range(nf)], axis=1)
+    aft_ne = jnp.concatenate(
+        [(aft_p >> (f * fb)) & fm for f in range(nf)], axis=1)
+    return tot_ne, aft_ne
+
+
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
             match_s, tot_s, aft_s, variant="full", packed=False):
     """variant toggles exist ONLY for the stage-attribution experiment
@@ -216,13 +263,23 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         # Select the stride-k window codes FIRST (row selection commutes
         # with the per-window rotation chain), so the k-1 rotate-min steps
         # run on [W, TB] instead of [L, TB] — k x less rotate work.
-        # Precision.HIGHEST forces a true-f32 MXU contraction (Mosaic only
-        # emits #tpu.contract_precision<fp32> for HIGHEST); the default may
-        # lower to bf16 passes, which would round codes >= 256 — every
-        # 5/6-mer window code. f32 values < 4096 are exact under HIGHEST.
-        wsel = jnp.dot(sel, fk.astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        # Default (bf16-pass) MXU precision is exact here because sel rows
+        # are one-hot (a single product, no accumulation error) and every
+        # value fed to the MXU stays in bf16's exact-integer range (<= 256):
+        # codes < 4^k fit directly for k <= 4; 5/6-mer codes < 4096 go
+        # through as two 6-bit halves recombined after the select. This
+        # replaces the former Precision.HIGHEST contraction (3 bf16 passes)
+        # with 1-2 single-pass matmuls — the select stage was the largest
+        # MXU cost in the kernel.
+        if k <= 4:
+            wsel = jnp.dot(sel, fk.astype(jnp.float32),
+                           preferred_element_type=jnp.float32).astype(jnp.int32)
+        else:
+            hi = jnp.dot(sel, (fk >> 6).astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+            lo = jnp.dot(sel, (fk & 63).astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(jnp.int32)
+            wsel = (hi << 6) | lo
         wmin = wsel
         f = wsel
         for _ in range(k - 1):
@@ -262,16 +319,16 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         elif MODAL_IMPL == "sorted":
             modal, kcount = _modal_sorted(wmin, validw, widx, W, TB)
         else:
-            # Triangular packed NE-counting, 2 reads per lane. Equivalent to
-            # the O(W^2)-compare pairwise loop (the original formulation, kept
-            # in ops/kmer.py's XLA path) but ~3.5x cheaper:
-            #   - invalid windows get unique sentinels (0x4000+row) so they
+            # Triangular packed NE-counting (SWAR over i32 lanes; see
+            # _modal_pairwise for the field layout). Equivalent to the
+            # O(W^2)-compare pairwise loop (the original formulation, kept
+            # in ops/kmer.py's XLA path) but several-fold cheaper:
+            #   - invalid windows get unique sentinels (4^k+row) so they
             #     never match anything and no validity masking is needed in
             #     the counting itself;
-            #   - two reads ride one i32 lane (codes+sentinels < 0x8000), and
-            #     per-field "differs" bits come from one add + mask via the
-            #     halfword-nonzero trick (v + 0x7FFF sets bit15 iff v>0, no
-            #     cross-field carry since v <= 0x8000-1);
+            #   - 2 reads (4 for k=3, whose codes fit 8-bit fields) ride one
+            #     i32 lane, and per-field "differs" bits come from one add +
+            #     mask via the halfword-nonzero trick;
             #   - only pairs j>i are compared (unrolled triangular loop over
             #     VMEM accumulators); row i's same-step sum gives its
             #     "matches-after" count, whose zero test IS the
@@ -280,29 +337,8 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
             #     (utils.nim:192-211): winner = max total, tie -> the row
             #     that is the last occurrence of its code with the smallest
             #     index.
-            TBH = TB // 2
-            sent = jnp.where(validw, wmin, 0x4000 + widx)
-            lo = jax.lax.slice(sent, (0, 0), (W, TBH))
-            hi = jax.lax.slice(sent, (0, TBH), (W, TB))
-            pw = lo | (hi << 16)
-            tot_s[:W, :] = jnp.zeros((W, TBH), jnp.int32)
-            aft_s[:W, :] = jnp.zeros((W, TBH), jnp.int32)
-            for i in range(W - 1):
-                row = jax.lax.slice(pw, (i, 0), (i + 1, TBH))
-                rest = jax.lax.slice(pw, (i + 1, 0), (W, TBH))
-                x = rest ^ row
-                t = x + 0x7FFF7FFF
-                nep = (t >> 15) & 0x00010001  # ne flags at bit0 / bit16
-                tot_s[i + 1:W, :] = tot_s[i + 1:W, :] + nep
-                s = jnp.sum(nep, axis=0, keepdims=True)
-                aft_s[i:i + 1, :] = s
-                tot_s[i:i + 1, :] = tot_s[i:i + 1, :] + s
-            tot_p = tot_s[:W, :]
-            aft_p = aft_s[:W, :]
-            tot_ne = jnp.concatenate(
-                [tot_p & 0xFFFF, (tot_p >> 16) & 0xFFFF], axis=1)
-            aft_ne = jnp.concatenate(
-                [aft_p & 0xFFFF, (aft_p >> 16) & 0xFFFF], axis=1)
+            tot_ne, aft_ne = _modal_pairwise(wmin, validw, widx, W, TB,
+                                             tot_s, aft_s, k)
             total = W - tot_ne  # eq-count incl. self, as in the pairwise form
             M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)
             # last occurrence of a code <=> nothing after it matches
@@ -356,15 +392,19 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         w4 = jnp.where(
             in_blk, jnp.left_shift(1, jnp.where(in_blk, rel4, 0)), 0
         ).astype(jnp.float32)
+        # default MXU precision is exact: weights are powers of two (exact
+        # in bf16), match is 0/1, and the f32 accumulation sums DISTINCT
+        # powers of two < 2^24 (each bit position occurs once per block)
         bits = jnp.dot(w4, match.astype(jnp.float32),
-                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32).astype(jnp.int32)
         match_s[:W4, :] = bits
-        low_k = (1 << k) - 1
-
-        def greedy_bits(b, carry_in):
-            count, carry = carry_in
-            row = match_s[pl.ds(b, 1), :]
+        # statically unrolled block loop (the former fori_loop + dynamic
+        # scratch reads serialized all five ks; with static slices the five
+        # independent per-k chains interleave in the scheduler)
+        count = jnp.zeros((1, TB), jnp.int32)
+        carry = jnp.zeros((1, TB), jnp.int32)
+        for b in range(W4):
+            row = match_s[b:b + 1, :]
             bq = jnp.maximum(carry, 1)  # carry==0 -> no constraint (q=0)
             avail = row & ~(bq - 1)
             last = jnp.zeros((1, TB), jnp.int32)
@@ -375,13 +415,7 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
                 last = jnp.where(taken, lsb, last)
                 avail = avail & ~((lsb << k) - lsb)  # clear m..m+k-1
             carry = (last << k) >> BL  # bit at m_last + k - 4k (0 if none)
-            return count, carry
-
-        exact, _ = jax.lax.fori_loop(
-            0, W4, greedy_bits,
-            (jnp.zeros((1, TB), jnp.int32), jnp.zeros((1, TB), jnp.int32)),
-        )
-        per_k.append((kcount, exact, modal_eff))
+        per_k.append((kcount, count, modal_eff))
 
     # --- k-selection state machine (utils.nim:243-269) ---------------------
     best = jnp.full((1, TB), -1, jnp.int32)
