@@ -99,26 +99,66 @@ def bench_kernel(smoke: bool):
 
     run(2)  # warm
     n1, n2 = (2, 6) if smoke else (5, 25)
-    # the attached chip is a shared service whose load moves the per-batch
-    # time by +-35% over minutes (0.35-0.55ms observed for this very
-    # program in one day); min-of-reps within a round cancels spikes, and
-    # spacing three rounds ~15s apart samples across sustained load so the
-    # reported number is the kernel's achievable rate, not the co-tenant's
-    # schedule
+    # the attached chip is a TIME-SHARED service: both wall-clock AND the
+    # profiler's device-event durations move with co-tenant load (0.23ms
+    # and 0.35ms observed for the same program 30 minutes apart), so no
+    # single sample is trustworthy. Protocol: min of the dispatch-chain
+    # slope over five rounds spaced ~12s (samples across sustained load),
+    # CROSS-CHECKED by a profiler-trace device-time measurement emitted
+    # alongside — chip-load variance is then a recorded quantity (the gap
+    # between slope and device time), not a STATUS footnote.
     reps = 1 if smoke else 3
-    rounds = 1 if smoke else 3
+    rounds = 1 if smoke else 5
     per_batch = float("inf")
     for r in range(rounds):
         if r:
-            time.sleep(15)
+            time.sleep(12)
         t1 = min(run(n1) for _ in range(reps))
         t2 = min(run(n2) for _ in range(reps))
         per_batch = min(per_batch, max(1e-9, (t2 - t1) / (n2 - n1)))
+    dev_ms = _device_time_per_batch(lambda: run(20), 20) if not smoke else None
     rps = B / per_batch
     emit("extract_kmer_scan_reads_per_sec", rps, "reads/s/chip",
          rps / NIM_BASELINE_READS_PER_SEC)
     print(f"# kernel(fused {layout}) device={dev.platform} B={B} L={L} "
-          f"per_batch={per_batch*1e3:.2f}ms", file=sys.stderr)
+          f"slope={per_batch*1e3:.2f}ms/batch"
+          + (f" device_time={dev_ms:.2f}ms/batch "
+             f"({B/(dev_ms*1e-3)/1e6:.1f}M reads/s device-time cross-check)"
+             if dev_ms else " (device-time trace unavailable)"),
+          file=sys.stderr)
+
+
+def _device_time_per_batch(chain, iters):
+    """Device-time cross-check: run `chain` (which dispatches `iters`
+    batches) under jax.profiler and return summed on-device program time
+    per batch in ms, or None if the trace is unavailable. Parses the
+    trace-viewer JSON directly (no tensorboard dependency): sums 'X'
+    events named jit_* on /device:* pids."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            with jax.profiler.trace(d):
+                chain()
+            total = 0.0
+            for path in glob.glob(d + "/**/*.trace.json.gz", recursive=True):
+                with gzip.open(path) as f:
+                    tr = json.load(f)
+                ev = tr.get("traceEvents", [])
+                devpids = {e["pid"] for e in ev
+                           if e.get("ph") == "M"
+                           and e.get("name") == "process_name"
+                           and "/device:" in e["args"].get("name", "")}
+                total += sum(e.get("dur", 0.0) for e in ev
+                             if e.get("ph") == "X" and e["pid"] in devpids
+                             and e.get("name", "").startswith("jit_"))
+            return (total / 1e3 / iters) if total else None
+    except Exception:
+        return None
 
 
 def _bench_bam(n_pairs: int, seed: int = 7) -> str:
@@ -204,16 +244,35 @@ def bench_extract_e2e(smoke: bool):
     n_pairs = 5_000 if smoke else 250_000
     path = _bench_bam(n_pairs)
     best = 0.0
+    best_line = ""
     for _ in range(1 if smoke else 3):
         bam = Bam(path)
+        stats = {}
         t0 = time.perf_counter()
-        tb, frag, opts = extract_native(bam, None, None)
+        tb, frag, opts = extract_native(bam, None, None, stats=stats)
         dt = time.perf_counter() - t0
         nreads = 2 * n_pairs
-        best = max(best, nreads / dt)
+        if nreads / dt > best:
+            best = nreads / dt
+            mb = (stats.get("h2d_bytes", 0) + stats.get("d2h_bytes", 0)) / 1e6
+            # wait_s: main-thread stall on in-flight device results = the
+            # part of wall the host loop could NOT hide behind decode/pack;
+            # scan_s: summed in-flight transfer+scan+fetch time (workers
+            # overlap, so >> wall when the pipeline is healthy)
+            best_line = (
+                f"# e2e attribution: wall={dt:.2f}s batches="
+                f"{stats.get('n_batches', 0)} h2d="
+                f"{stats.get('h2d_bytes', 0)/1e6:.2f}MB d2h="
+                f"{stats.get('d2h_bytes', 0)/1e6:.2f}MB xfer={mb/dt:.1f}MB/s "
+                f"device_wait={stats.get('wait_s', 0.0):.2f}s "
+                f"inflight_scan={stats.get('scan_s', 0.0):.2f}s "
+                f"host_loop={dt - stats.get('wait_s', 0.0):.2f}s"
+            )
     emit("extract_e2e_reads_per_sec", best, "reads/s",
          best / NIM_BASELINE_READS_PER_SEC)
     print(f"# e2e n_reads={2*n_pairs} treads={len(tb)}", file=sys.stderr)
+    if best_line:
+        print(best_line, file=sys.stderr)
 
 
 def _bench_call_inputs(n_loci: int, depth: int = 20, gap: int = 25_000):
@@ -294,10 +353,66 @@ def _bench_call_inputs(n_loci: int, depth: int = 20, gap: int = 25_000):
     return bam_path, bin_path
 
 
+_DIST_CALL_WORKER = """
+import os, sys, time
+pid, n, port, out_prefix, bam_p, binp = sys.argv[1:7]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=int(n), process_id=int(pid))
+from strling_tpu.parallel.call_dist import run_call_dist
+t0 = time.perf_counter()
+run_call_dist(bam_p, binp, output_prefix=out_prefix)
+print(f"DIST_CALL_SECONDS={time.perf_counter()-t0:.3f}", flush=True)
+"""
+
+
+def _call_dist_2proc(d, bam_path, bin_path):
+    """Time `call --distributed` with 2 jax.distributed (Gloo) processes on
+    the same workload (scripts/sim_sweep.py:_dist_check mechanism); returns
+    (post-init call seconds: max over workers — interpreter + Gloo startup
+    excluded so the number measures the sharded call path, wall seconds
+    including startup, output prefix)."""
+    worker = os.path.join(d, "dist_worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_DIST_CALL_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env.pop("JAX_PLATFORMS", None)
+    dp = os.path.join(d, "dist")
+    port = 12000 + os.getpid() % 2000
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), dp, bam_path,
+             bin_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)
+    ]
+    secs = []
+    for pr in procs:
+        out, err = pr.communicate(timeout=900)
+        if pr.returncode != 0:
+            raise RuntimeError(f"dist worker failed: {err.decode()[-1200:]}")
+        for line in out.decode().splitlines():
+            if line.startswith("DIST_CALL_SECONDS="):
+                secs.append(float(line.split("=")[1]))
+    wall = time.perf_counter() - t0
+    if len(secs) != 2:
+        raise RuntimeError("dist workers reported no timing")
+    return max(secs), wall, dp
+
+
 def bench_call(smoke: bool):
     """The call stage at cohort-realistic volume: n>=5000 novel clusters
     through the full run_call (read bin, cluster, batched support
-    collection over the BAM, genotype, percentile, write)."""
+    collection over the BAM, genotype, percentile, write), with per-stage
+    attribution, plus a 2-process `call --distributed` timing on the same
+    workload (byte-equality asserted against the single-process outputs)."""
     import tempfile
 
     from strling_tpu.core.call import run_call
@@ -306,18 +421,45 @@ def bench_call(smoke: bool):
     bam_path, bin_path = _bench_call_inputs(n_loci)
     with tempfile.TemporaryDirectory() as d:
         dt = float("inf")
+        best = {}
         for _ in range(1 if smoke else 2):
+            stats = {}
             t0 = time.perf_counter()
-            run_call(bam_path, bin_path, output_prefix=os.path.join(d, "out"))
-            dt = min(dt, time.perf_counter() - t0)
+            run_call(bam_path, bin_path, output_prefix=os.path.join(d, "out"),
+                     stats=stats)
+            cur = time.perf_counter() - t0
+            if cur < dt:
+                dt, best = cur, stats
         lines = open(os.path.join(d, "out-genotype.txt")).read().splitlines()
         n_called = len(lines) - 1
-    if n_called < n_loci * 9 // 10:
-        print(f"# WARNING: call bench genotyped {n_called}/{n_loci} "
-              "planted loci — metric unreliable", file=sys.stderr)
-    lps = n_called / dt
-    emit("call_loci_per_sec", lps, "loci/s", lps / NIM_BASELINE_LOCI_PER_SEC)
-    print(f"# call n_called={n_called} dt={dt:.2f}s", file=sys.stderr)
+        if n_called < n_loci * 9 // 10:
+            print(f"# WARNING: call bench genotyped {n_called}/{n_loci} "
+                  "planted loci — metric unreliable", file=sys.stderr)
+        lps = n_called / dt
+        emit("call_loci_per_sec", lps, "loci/s",
+             lps / NIM_BASELINE_LOCI_PER_SEC)
+        print(f"# call n_called={n_called} dt={dt:.2f}s", file=sys.stderr)
+        print("# call attribution: " + " ".join(
+            f"{k.removesuffix('_s')}={v:.2f}s"
+            for k, v in best.items()), file=sys.stderr)
+        if smoke:
+            return
+        try:
+            dt2, wall2, dp = _call_dist_2proc(d, bam_path, bin_path)
+            for sfx in ("-genotype.txt", "-bounds.txt", "-unplaced.txt"):
+                a = open(os.path.join(d, "out") + sfx, "rb").read()
+                b = open(dp + sfx, "rb").read()
+                assert a == b, f"distributed call diverged on {sfx}"
+            lps2 = n_called / dt2
+            emit("call_dist2_loci_per_sec", lps2, "loci/s",
+                 lps2 / NIM_BASELINE_LOCI_PER_SEC)
+            print(f"# call 2-process distributed: call={dt2:.2f}s "
+                  f"(max over workers, post-init) wall={wall2:.2f}s incl. "
+                  f"startup; speedup={dt/dt2:.2f}x vs single-process "
+                  f"{dt:.2f}s on the 2-core VM; outputs byte-identical",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# call dist bench failed: {e!r}", file=sys.stderr)
 
 
 def bench_outliers(smoke: bool):

@@ -61,10 +61,21 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
              min_support: int = 5, min_clip: int = 0, min_clip_total: int = 0,
              min_mapq: int = 40, loci: str | None = None,
              bounds_path: str | None = None, output_prefix: str = "strling",
-             verbose: bool = False, debug: bool = False):
+             verbose: bool = False, debug: bool = False,
+             stats: dict | None = None):
     """call_main (call.nim:50-303). `debug` also writes the per-read and
     per-span evidence files the reference emits in -d:debug builds
-    (call.nim:148-157,257-261)."""
+    (call.nim:148-157,257-261). `stats`, when given, records per-stage wall
+    seconds (setup/cluster/collect/genotype/finish) for bench attribution."""
+    import time as _time
+
+    _marks = [_time.perf_counter()]
+
+    def _mark(name):
+        _marks.append(_time.perf_counter())
+        if stats is not None:
+            stats[name] = stats.get(name, 0.0) + _marks[-1] - _marks[-2]
+
     if loci and not os.path.exists(loci):
         raise SystemExit("couldn't open loci file")
     if bounds_path and not os.path.exists(bounds_path):
@@ -88,6 +99,7 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     extracted = read_bin(bin_path)
     assert same_targets(extracted.targets, bam.targets)
     groups = TreadGroups.from_batch(extracted.reads)
+    _mark("setup_s")  # frag-hist pass + bin read + tread grouping
 
     gt_fh = open(output_prefix + "-genotype.txt", "w")
     bounds_fh = open(output_prefix + "-bounds.txt", "w")
@@ -189,7 +201,9 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
             print(f"large bounds:{bound} skipping", file=sys.stderr)
             continue
         work_a.append((bound, str_reads, str_qnames))
+    _mark("assign_s")
     span_a = _spans_for(work_a)
+    _mark("collect_s")
     for i, (bound, str_reads, str_qnames) in enumerate(work_a):
         got = _genotype_one(span_a[i], bound, str_reads, str_qnames)
         if got is None:
@@ -199,6 +213,7 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
         genotypes_by_repeat.setdefault(canon, []).append(gt)
         bounds_fh.write(bound.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
         _debug_write(bound, spans, str_reads, str_qnames, bound.id(opts.targets))
+    _mark("genotype_s")
 
     # PASS B — novel clusters (call.nim:221-262): clustering consumes the
     # remaining treads (independent of support collection), then the same
@@ -234,7 +249,9 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
             max_clip_dist, names,
         ):
             work_b.append((b, Cluster(reads=rv, qnames=qv)))
+    _mark("cluster_s")
     span_b = _spans_for(work_b)
+    _mark("collect_s")
     ci = 0
     for i, (b, c) in enumerate(work_b):
         got = _genotype_one(span_b[i], b, c.reads, c.qnames)
@@ -246,6 +263,7 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
         bounds_fh.write(b.tostring(opts.targets) + "\t" + str(med_depth) + "\n")
         _debug_write(b, spans, c.reads, c.qnames, ci)
         ci += 1
+    _mark("genotype_s")
 
     add_percentile(genotypes_by_repeat)
 
@@ -269,6 +287,7 @@ def run_call(bam_path: str, bin_path: str, fasta: str | None = None,
     gt_fh.close()
     bounds_fh.close()
     unplaced_fh.close()
+    _mark("finish_s")  # percentile barrier + refinement + genotype writes
     if debug:
         span_fh.close()
         reads_fh.close()

@@ -390,33 +390,27 @@ def extract(bam, fasta: str | None, genome_repeats_path: str | None,
 def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
                    proportion_repeat: float = 0.8, min_mapq: int = 40,
                    verbose: bool = False, genome_index: GenomeIndex | None = None,
-                   backend: str = "auto", devices: str | None = None):
+                   backend: str = "auto", devices: str | None = None,
+                   stats: dict | None = None):
     """Native-engine extraction: C++ streams/packs/pairs, device scans.
 
     Same results as `extract` (equivalence-tested); ~2 orders of magnitude
     faster host side. devices="all" round-robins batches over every local
     chip (byte-identical output — feeds stay FIFO)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from strling_tpu.core.genome_index import genome_repeats as build_gi
-    from strling_tpu.io.bam import Bam
-    from strling_tpu.io.extract_native import (
-        NativeExtractor,
-        native_frag_hist,
-        peek_max_len,
-    )
+    from strling_tpu.io.extract_native import NativeExtractor, peek_max_len
     from strling_tpu.utils import fraglen
 
     # The fragment-length pre-pass (utils.nim:86-111) only feeds adjust_by's
-    # median, so it runs CONCURRENTLY with the engine's producer on a second
-    # file handle; the median lands just before the first feed. The wire
-    # width (Lmax) is probed from the first 10k records — if a later read
-    # turns out longer (it would have been truncated on the wire), the run
-    # redoes extraction with the exact width from the completed histogram.
+    # median, so instead of a second whole-file decode pass it rides the
+    # engine's OWN record stream (frag_tee; same records, same predicate —
+    # see Engine::fh_tee). Feeds hold until the tee's 2M-record budget is
+    # consumed (device scans keep flying meanwhile); the median lands just
+    # before the first feed. The wire width (Lmax) is probed from the first
+    # 10k records — if a later read turns out longer (it would have been
+    # truncated on the wire), the run redoes extraction with the exact
+    # width from the completed histogram.
     peek_len = peek_max_len(bam)
-    hist_bam = Bam(bam.path, fasta=getattr(bam, "fasta", None))
-    pool = ThreadPoolExecutor(max_workers=1)
-    hist_fut = pool.submit(native_frag_hist, hist_bam, return_max_len=True)
 
     opts = Options(
         median_fragment_length=0,
@@ -439,11 +433,11 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     def run_once(Lcap):
         ne = NativeExtractor(
             bam, proportion_repeat, min_mapq, 0,
-            genome_index=genome_index, Lmax=Lcap,
+            genome_index=genome_index, Lmax=Lcap, frag_tee=True,
         )
 
         def set_median():
-            frag_dist, _ = hist_fut.result()
+            frag_dist, _ = ne.get_hist()
             median = fraglen.median(frag_dist)
             ne.set_median(median)
             opts.median_fragment_length = median
@@ -451,7 +445,8 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
                 print(f"Calculated median fragment length:{median}",
                       file=sys.stderr)
 
-        tb = ne.run(backend=backend, devices=devs, pre_feed_hook=set_median)
+        tb = ne.run(backend=backend, devices=devs, pre_feed_hook=set_median,
+                    stats=stats, hold_drain=lambda: not ne.hist_ready)
         return ne, tb
 
     print("[strling] collecting str-like reads", file=sys.stderr)
@@ -461,8 +456,7 @@ def extract_native(bam, fasta: str | None, genome_repeats_path: str | None,
     # what the retry guard must compare against
     eff_cap = min(bam.Lmax, Lcap) if Lcap else bam.Lmax
     ne, tb = run_once(Lcap)
-    frag_dist, max_read_len = hist_fut.result()
-    pool.shutdown()
+    frag_dist, max_read_len = ne.get_hist()
     true_max = max(ne.max_len_seen, max_read_len)
     if true_max > eff_cap:
         # a read longer than the peeked width appeared: redo with the exact

@@ -202,6 +202,45 @@ struct Engine {
   int64_t nreads = 0;
   std::string err;
 
+  // --- fragment-length histogram tee (single-stream mode only) ------------
+  // Mirrors sio_frag_hist's record predicate over the engine's OWN phase-0
+  // stream (which equals the standalone pre-pass's whole-file scan record
+  // for record), so extract needs ONE BGZF decode pass instead of two
+  // (utils.nim:86-111; the pre-pass was ~45% of host work on a 2-core VM).
+  // Producer thread writes; fh_ready is the release/acquire gate after
+  // which fh_hist/fh_skipped are frozen (stopped or phase-0 EOF).
+  bool fh_enabled = false;
+  bool fh_stopped = false;  // counted > fh_n: the reference's early stop
+  bool fh_warned = false;
+  int64_t fh_i = -1;
+  int64_t fh_counted = 0;
+  int64_t fh_skip = 100000, fh_n = 2000000;
+  std::atomic<int32_t> fh_max_len{0};
+  std::atomic<bool> fh_ready{false};
+  uint32_t fh_hist[4096] = {0};
+  std::vector<int32_t> fh_skipped;
+
+  void fh_tee(const BamRec& r) {
+    if (fh_stopped) return;
+    fh_i++;
+    if (r.l_seq > fh_max_len.load(std::memory_order_relaxed))
+      fh_max_len.store(r.l_seq, std::memory_order_relaxed);
+    if (!(r.flag & FLAG_PROPER_PAIR)) return;
+    if (r.flag & (FLAG_SUPPLEMENTARY | FLAG_SECONDARY)) return;
+    if (r.isize < 0) return;
+    if (r.isize > 4095) return;
+    if (fh_i < fh_skip) {
+      fh_skipped.push_back((int32_t)r.isize);
+      return;
+    }
+    fh_skipped.clear();
+    fh_hist[r.isize]++;
+    if (++fh_counted > fh_n) {
+      fh_stopped = true;
+      fh_ready.store(true, std::memory_order_release);
+    }
+  }
+
   // --- producer-thread pipelining (sio_ex_next_fused) ---------------------
   // BGZF decode + record parse + prefilter + wire packing run on a producer
   // thread while the main thread runs the order-dependent feed state
@@ -401,6 +440,7 @@ struct Engine {
           continue;
         }
         if (phase == 0) {
+          if (fh_enabled) fh_ready.store(true, std::memory_order_release);
           if (sharded && !shard_unplaced) {
             phase = 2;
             break;
@@ -413,6 +453,10 @@ struct Engine {
         phase = 2;
         break;
       }
+      // hist tee sees every phase-0 record BEFORE any filtering — the same
+      // stream the standalone pre-pass iterates (phase 1 is the second
+      // visit of the no-coor block and must not count)
+      if (fh_enabled && phase == 0) fh_tee(r);
       if (r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) continue;
       if (r.l_seq > max_len_seen.load(std::memory_order_relaxed))
         max_len_seen.store(r.l_seq, std::memory_order_relaxed);
@@ -1021,6 +1065,49 @@ int sio_ex_set_shard(void* ve, const int32_t* tids, int64_t n_tids,
   for (int64_t i = 0; i < n_tids; i++)
     if (tids[i] >= 0 && tids[i] < n) e->owned[tids[i]] = true;
   e->shard_unplaced = include_unplaced != 0;
+  e->fh_enabled = false;  // tee needs the whole-file phase-0 stream
+  return 0;
+}
+
+// Enable the fragment-length histogram tee over the engine's own phase-0
+// stream (single-stream mode only; see Engine::fh_tee). Must be called
+// before the first sio_ex_next*.
+int sio_ex_set_hist_tee(void* ve, int64_t skip_reads, int64_t n_reads) {
+  Engine* e = (Engine*)ve;
+  if (e->begun || e->producer_started || e->sharded) return -1;
+  e->fh_enabled = true;
+  e->fh_skip = skip_reads;
+  e->fh_n = n_reads;
+  return 0;
+}
+
+// 1 once the teed histogram is frozen: the reference's 2M-record budget was
+// consumed, or the phase-0 stream ended. The driver holds feeds (which are
+// the only consumer of the median) until this flips.
+int sio_ex_hist_ready(void* ve) {
+  return ((Engine*)ve)->fh_ready.load(std::memory_order_acquire) ? 1 : 0;
+}
+
+// Copy out the teed histogram (+ max l_seq over the tee'd stream). Applies
+// the reference's not-enough-pairs fallback to the copy (utils.nim:104-108:
+// fall back to the skipped first-window isizes). -1 if not ready.
+int sio_ex_get_hist(void* ve, uint32_t* hist /*4096*/,
+                    int32_t* max_read_len) {
+  Engine* e = (Engine*)ve;
+  if (!e->fh_ready.load(std::memory_order_acquire)) return -1;
+  memcpy(hist, e->fh_hist, 4096 * sizeof(uint32_t));
+  *max_read_len = e->fh_max_len.load(std::memory_order_relaxed);
+  uint64_t total = 0;
+  for (int j = 0; j < 4096; j++) total += hist[j];
+  if (total == 0) {
+    if (!e->fh_warned) {
+      fprintf(stderr,
+              "using first reads in fragment_length_distribution calculation "
+              "as there were not enough\n");
+      e->fh_warned = true;
+    }
+    for (int32_t v : e->fh_skipped) hist[v]++;
+  }
   return 0;
 }
 

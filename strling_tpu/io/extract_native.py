@@ -75,6 +75,13 @@ def _bind(lib):
     ]
     lib.sio_ex_error.restype = C.c_char_p
     lib.sio_ex_error.argtypes = [C.c_void_p]
+    lib.sio_ex_set_hist_tee.restype = C.c_int
+    lib.sio_ex_set_hist_tee.argtypes = [C.c_void_p, C.c_int64, C.c_int64]
+    lib.sio_ex_hist_ready.restype = C.c_int
+    lib.sio_ex_hist_ready.argtypes = [C.c_void_p]
+    lib.sio_ex_get_hist.restype = C.c_int
+    lib.sio_ex_get_hist.argtypes = [C.c_void_p, P(np.uint32),
+                                    C.POINTER(C.c_int32)]
 
 
 _bound = False
@@ -123,7 +130,8 @@ class NativeExtractor:
     def __init__(self, bam: Bam, proportion_repeat: float, min_mapq: int,
                  median_fragment_length: int, genome_index=None,
                  batch_records: int = 200_000, Lmax: int | None = None,
-                 prefilter: bool = True, rows_per_batch: int = 4096):
+                 prefilter: bool = True, rows_per_batch: int = 4096,
+                 frag_tee: bool = False):
         self.lib = _lib()
         self.bam = bam
         # transfer width: the max read length (rounded up) bounds the packed
@@ -145,6 +153,14 @@ class NativeExtractor:
         )
         if not prefilter:
             self.lib.sio_ex_set_prefilter(self._e, 0)
+        if frag_tee:
+            # fragment-length histogram accumulated on the engine's OWN
+            # record stream (same predicate/stream as native_frag_hist) —
+            # one BGZF decode pass for the whole extract instead of two
+            rc = self.lib.sio_ex_set_hist_tee(self._e, 100_000, 2_000_000)
+            if rc != 0:
+                raise RuntimeError("hist tee must be enabled before reading"
+                                   " (and never in sharded mode)")
         if genome_index is not None:
             name_to_tid = {t.name: t.tid for t in bam.targets}
             for chrom, (starts, pmax) in genome_index.by_chrom.items():
@@ -232,12 +248,28 @@ class NativeExtractor:
         self.lib.sio_ex_set_median(self._e, int(median))
 
     @property
+    def hist_ready(self) -> bool:
+        """True once the teed fragment histogram is frozen (2M-record budget
+        consumed or main stream ended)."""
+        return bool(self.lib.sio_ex_hist_ready(self._e))
+
+    def get_hist(self):
+        """(hist[4096] uint32, max_read_len) from the engine tee; raises if
+        not yet ready (see hist_ready / run(hold_drain=...))."""
+        hist = np.zeros(4096, np.uint32)
+        ml = C.c_int32(0)
+        if self.lib.sio_ex_get_hist(self._e, hist, C.byref(ml)) != 0:
+            raise RuntimeError("fragment histogram not ready")
+        return hist, int(ml.value)
+
+    @property
     def max_len_seen(self) -> int:
         return int(self.lib.sio_ex_max_len(self._e))
 
     def run(self, backend: str = "auto", depth: int = 8,
             buckets: tuple[int, ...] | None = None,
-            devices: list | None = None, pre_feed_hook=None) -> TreadBatch:
+            devices: list | None = None, pre_feed_hook=None,
+            stats: dict | None = None, hold_drain=None) -> TreadBatch:
         """Pipelined loop. Each batch comes out of the C++ engine already in
         the kernel's fused wire layout; a pool of `depth` worker threads runs
         the blocking transfer→scan→fetch chain so up to `depth` device round
@@ -245,7 +277,12 @@ class NativeExtractor:
         batch. Feeds are FIFO (the C++ mate-cache state machine is
         order-dependent; futures are drained in submission order), so with
         `devices` the batches round-robin over the local chips and the
-        output is byte-identical to single-device runs."""
+        output is byte-identical to single-device runs.
+
+        `stats`, when given, accumulates transfer attribution for the run:
+        n_batches, h2d/d2h bytes, summed in-flight scan seconds (overlapped
+        across workers), and total feed-wait seconds on the main thread."""
+        import time as _time
         from collections import deque
 
         from strling_tpu.ops.kmer import scan_codes, scan_payload
@@ -254,18 +291,43 @@ class NativeExtractor:
         buckets = buckets or self.BUCKETS
         if devices:
             depth = max(depth, 2 * len(devices))
+        if stats is not None:
+            stats.setdefault("n_batches", 0)
+            stats.setdefault("h2d_bytes", 0)
+            stats.setdefault("d2h_bytes", 0)
+            stats.setdefault("scan_s", 0.0)   # summed over workers (overlaps)
+            stats.setdefault("wait_s", 0.0)   # main-thread feed-drain wait
         EMPTY = "empty"  # sentinel for fast-path-only batches (no scan rows)
 
+        import threading
+
+        slock = threading.Lock()
+
+        def _acc(t0, h2d, d2h):
+            with slock:
+                stats["n_batches"] += 1
+                stats["h2d_bytes"] += h2d
+                stats["d2h_bytes"] += d2h
+                stats["scan_s"] += _time.perf_counter() - t0
+
         def scan_job(payload, layout, ascii_rows, rows, bucket, dev):
+            t0 = _time.perf_counter()
             if payload is not None:
                 # the buffer is pre-zeroed and rows_cap tall: slicing to the
                 # bucket IS the padding (no copy); short slices are padded
                 # inside scan_payload
-                return scan_payload(payload[:bucket], rows, backend=backend,
-                                    bucket=bucket, device=dev, layout=layout)
+                out = scan_payload(payload[:bucket], rows, backend=backend,
+                                   bucket=bucket, device=dev, layout=layout)
+                if stats is not None:
+                    _acc(t0, bucket * payload.shape[1], bucket * 4)
+                return out
             b, l, p = ascii_rows
-            return scan_codes(b[:rows], l[:rows], p[:rows], backend=backend,
-                              bucket=bucket)
+            out = scan_codes(b[:rows], l[:rows], p[:rows], backend=backend,
+                             bucket=bucket)
+            if stats is not None:
+                bkt = max(bucket, ((rows + bucket - 1) // bucket) * bucket)
+                _acc(t0, bkt * (b.shape[1] + 16), bkt * 12)
+            return out
 
         batch_i = 0
         inflight: deque = deque()
@@ -288,13 +350,27 @@ class NativeExtractor:
                     else:
                         inflight.append(EMPTY)
                 done = n_records == 0 and bool(lib.sio_ex_done(self._e))
+                if not done and hold_drain is not None and hold_drain():
+                    # feeds are gated (e.g. the teed fragment median isn't
+                    # derivable yet): keep producing/dispatching — scans fly,
+                    # inflight grows past depth, nothing is fed. Memory cost
+                    # is the buffered Pending records (~150B each, so the 2M
+                    # hist budget tops out around ~300MB transiently).
+                    continue
                 limit = 0 if done else max(0, depth - 1)
                 while len(inflight) > limit:
                     if pre_feed_hook is not None:
                         pre_feed_hook()
                         pre_feed_hook = None
                     f = inflight.popleft()
-                    self._feed(None if f is EMPTY else f.result())
+                    if f is EMPTY:
+                        self._feed(None)
+                    else:
+                        tw = _time.perf_counter()
+                        res = f.result()
+                        if stats is not None:
+                            stats["wait_s"] += _time.perf_counter() - tw
+                        self._feed(res)
                 if done:
                     break
         if pre_feed_hook is not None:
