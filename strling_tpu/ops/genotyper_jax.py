@@ -6,14 +6,20 @@ FLOPs per locus:
     allele2_bp = 2 ** (log2(sum_str_counts / max(1, depth) + 1) * COEF + B)
 
 so the TPU-native form is one vectorized jit over every locus at once. The
-scalar host path (core/genotyper.py, CPython libm) remains the byte-stable
-production formatter — a lone 4-FLOP op is never worth a device round trip
-on its own — but this module is the model's device form, used where the
-call pipeline is already on the mesh (parallel/call_dist.py computes the
-O/E percentile there) and validated to ≤1 ulp against the scalar spec
-(tests/test_genotyper_jax.py; XLA's log2/exp2 may differ from libm in the
-last bit, which is below the 2-decimal output precision by ~10 orders of
-magnitude).
+scalar host path (core/genotyper.py, CPython libm) is the byte-stable
+production formatter everywhere — including `call --distributed`, which
+imports genotype_ls, NOT this module. That placement is measured, not
+assumed (docs/architecture.md "Device-form placement"): on the tunneled
+v5e, evaluating the model for n=5000 loci costs ~2ms in the scalar host
+loop vs ~1.7s as a device dispatch (tunnel RTT + f64 emulation), an
+~800x host win; the mesh-resident O/E percentile barrier in call_dist is
+on-device only because a cross-process collective is REQUIRED there. This
+module is kept as the model's device form for a future all-device cohort
+pipeline and as a parity artifact, validated to ≤64 ulp against the
+scalar spec (tests/test_cluster_jax.py::test_genotype_model_matches_scalar
+and ::test_unplaced_model_matches_scalar; XLA's log2/exp2 may differ from
+libm in the last bits, ~10 orders of magnitude below the 2-decimal output
+precision).
 """
 
 from __future__ import annotations
