@@ -2993,6 +2993,18 @@ extern "C" int64_t sio_fqz_decode(const uint8_t* in, int64_t in_sz,
   return (int64_t)o.size();
 }
 
+// test hook: drive fqz_read_array directly so hand-authored store_array
+// byte fixtures (tests/test_fqz_fixtures.py) pin the table wire format
+// independently of the Python encoder. Returns bytes consumed or -1.
+extern "C" int64_t sio_fqz_read_array_test(const uint8_t* in, int64_t in_sz,
+                                           uint8_t* out, int size) {
+  Buf b(in, (size_t)in_sz);
+  std::vector<uint8_t> tmp(size);
+  if (!fqz_read_array(b, tmp.data(), size)) return -1;
+  memcpy(out, tmp.data(), (size_t)size);
+  return (int64_t)(b.p - in);
+}
+
 // test hook: decode one name-tokeniser (tok3) blob; returns size or -1
 extern "C" int64_t sio_tok3_decode(const uint8_t* in, int64_t in_sz,
                                    int64_t usize, uint8_t* out,
