@@ -193,6 +193,9 @@ extern "C" {
                   const int32_t* n, int64_t rows);
   int sio_ex_done(void* e);
   int64_t sio_ex_n_treads(void* e);
+  int sio_ex_set_hist_tee(void* e, int64_t skip, int64_t n);
+  int sio_ex_hist_ready(void* e);
+  int sio_ex_get_hist(void* e, uint32_t* hist, int32_t* max_len);
   void sio_hubers_batch(const double* X, int64_t L, int64_t S, double c,
                         double tol, int64_t maxiter, double gamma,
                         double* mu, double* sd, uint8_t* meth);
@@ -203,6 +206,12 @@ int main(int argc, char** argv) {
   const int Lmax = 160;
   const int64_t CAP = 8192;
   void* e = sio_ex_create(h, 0.8, 40, 400, Lmax);
+  // hist tee: producer writes, this thread polls/reads — the exact
+  // cross-thread pattern extract_native uses (fh_ready acquire gate)
+  if (sio_ex_set_hist_tee(e, 100, 100000) != 0) return 4;
+  bool hist_read = false;
+  uint32_t hist[4096];
+  int32_t hmax = 0;
   std::vector<uint8_t> payload((size_t)CAP * (3 * Lmax / 8 + 22));
   std::vector<uint8_t> ab((size_t)CAP * Lmax);
   std::vector<int32_t> al(CAP);
@@ -215,9 +224,14 @@ int main(int argc, char** argv) {
                                      al.data(), ap.data(), CAP, &fb);
     if (rows < 0) return 3;
     total += nrec;
+    if (!hist_read && sio_ex_hist_ready(e)) {
+      if (sio_ex_get_hist(e, hist, &hmax) != 0) return 5;
+      hist_read = true;
+    }
     if (nrec > 0) sio_ex_feed(e, z.data(), z.data(), z.data(), rows);
     if (nrec == 0 && sio_ex_done(e)) break;
   }
+  if (!hist_read && sio_ex_get_hist(e, hist, &hmax) != 0) return 5;
   printf("records=%ld treads=%ld\n", (long)total, (long)sio_ex_n_treads(e));
   sio_ex_destroy(e);
   sio_close(h);

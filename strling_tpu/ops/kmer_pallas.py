@@ -118,15 +118,28 @@ def _modal_sorted(wmin, validw, widx, W, TB):
     return modal, kcount
 
 
-def _modal_pairwise(wmin, validw, widx, W, TB, tot_s, aft_s, k):
-    """Triangular packed NE-counting (see the call site for semantics).
+def _modal_pairwise(wmin, validw, widx, W, TB, tot_s, k):
+    """Modal window code + count with the reference's running-argmax
+    tie-break (utils.nim:192-211), via triangular packed NE-counting over
+    PREDECESSORS only.
+
+    Key identity: the CountTable winner is the code whose final (maximal)
+    count M is REACHED first, i.e. the earliest window j whose running
+    occurrence count occ(j) = j+1 - ne_before(j) equals M — and M itself is
+    max_j occ(j) (the most frequent code's last occurrence has occ == its
+    total; no code with a smaller total ever reaches M). So only the
+    strictly-lower-triangle NE counts are needed: the former matches-after
+    accumulator and its per-step cross-row reduction drop out, halving the
+    passes in the O(W^2) loop.
 
     SWAR field layout per i32 lane: k==3 packs FOUR reads in 8-bit fields
     (codes < 64, sentinels 64+widx <= 113 < 128, counts <= W-1 < 127 — no
     field ever reaches its halfword bit), other ks pack two reads in 16-bit
     fields. The "differs" bit per field comes from one add + mask: v + (2^
     (fb-1)-1) sets bit fb-1 iff v > 0, with no cross-field carry since
-    v <= 2^(fb-1)-1 and counts stay below 2^(fb-1)."""
+    v <= 2^(fb-1)-1 and counts stay below 2^(fb-1).
+
+    Returns (modal [1,TB] — NEG when no valid window, kcount [1,TB])."""
     nf = 4 if k == 3 else 2
     fb = 32 // nf
     TBF = TB // nf
@@ -142,31 +155,30 @@ def _modal_pairwise(wmin, validw, widx, W, TB, tot_s, aft_s, k):
     for f in range(1, nf):
         pw = pw | (parts[f] << (f * fb))
     tot_s[:W, :TBF] = jnp.zeros((W, TBF), jnp.int32)
-    aft_s[:W, :TBF] = jnp.zeros((W, TBF), jnp.int32)
     for i in range(W - 1):
         row = jax.lax.slice(pw, (i, 0), (i + 1, TBF))
         rest = jax.lax.slice(pw, (i + 1, 0), (W, TBF))
-        x = rest ^ row
-        t = x + addc
+        t = (rest ^ row) + addc
         # arithmetic shift sign-fill only touches bits above the highest
         # mask bit (f_max*fb), so the & keeps exactly the per-field ne flags
         nep = (t >> (fb - 1)) & nemask
         tot_s[i + 1:W, :TBF] = tot_s[i + 1:W, :TBF] + nep
-        s = jnp.sum(nep, axis=0, keepdims=True)
-        aft_s[i:i + 1, :TBF] = s
-        tot_s[i:i + 1, :TBF] = tot_s[i:i + 1, :TBF] + s
     tot_p = tot_s[:W, :TBF]
-    aft_p = aft_s[:W, :TBF]
     fm = (1 << fb) - 1
-    tot_ne = jnp.concatenate(
+    ne_before = jnp.concatenate(
         [(tot_p >> (f * fb)) & fm for f in range(nf)], axis=1)
-    aft_ne = jnp.concatenate(
-        [(aft_p >> (f * fb)) & fm for f in range(nf)], axis=1)
-    return tot_ne, aft_ne
+    occ = jnp.where(validw, widx + 1 - ne_before, 0)
+    M = jnp.max(occ, axis=0, keepdims=True)
+    cand = validw & (occ == M) & (M > 0)
+    jstar = jnp.min(jnp.where(cand, widx, W), axis=0, keepdims=True)
+    sel = cand & (widx == jstar)
+    modal = jnp.max(jnp.where(sel, wmin, NEG), axis=0, keepdims=True)
+    kcount = jnp.where(modal >= 0, M, 0)
+    return modal, kcount
 
 
 def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
-            match_s, tot_s, aft_s, variant="full", packed=False):
+            match_s, tot_s, variant="full", packed=False):
     """variant toggles exist ONLY for the stage-attribution experiment
     (scripts/exp_kernel_timing.py): "full" (production), "no_greedy" (exact
     recount replaced by the modal estimate), "no_modal" (modal replaced by
@@ -319,35 +331,16 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         elif MODAL_IMPL == "sorted":
             modal, kcount = _modal_sorted(wmin, validw, widx, W, TB)
         else:
-            # Triangular packed NE-counting (SWAR over i32 lanes; see
-            # _modal_pairwise for the field layout). Equivalent to the
-            # O(W^2)-compare pairwise loop (the original formulation, kept
-            # in ops/kmer.py's XLA path) but several-fold cheaper:
-            #   - invalid windows get unique sentinels (4^k+row) so they
-            #     never match anything and no validity masking is needed in
-            #     the counting itself;
-            #   - 2 reads (4 for k=3, whose codes fit 8-bit fields) ride one
-            #     i32 lane, and per-field "differs" bits come from one add +
-            #     mask via the halfword-nonzero trick;
-            #   - only pairs j>i are compared (unrolled triangular loop over
-            #     VMEM accumulators); row i's same-step sum gives its
-            #     "matches-after" count, whose zero test IS the
-            #     last-occurrence-of-code flag, replacing the running lastmax
-            #     carry of the reference's CountTable argmax
-            #     (utils.nim:192-211): winner = max total, tie -> the row
-            #     that is the last occurrence of its code with the smallest
-            #     index.
-            tot_ne, aft_ne = _modal_pairwise(wmin, validw, widx, W, TB,
-                                             tot_s, aft_s, k)
-            total = W - tot_ne  # eq-count incl. self, as in the pairwise form
-            M = jnp.max(jnp.where(validw, total, 0), axis=0, keepdims=True)
-            # last occurrence of a code <=> nothing after it matches
-            is_last = aft_ne == (W - 1 - widx)
-            cand = validw & (total == M) & is_last & (M > 0)
-            jstar = jnp.min(jnp.where(cand, widx, W), axis=0, keepdims=True)
-            sel = cand & (widx == jstar)
-            modal = jnp.max(jnp.where(sel, wmin, NEG), axis=0, keepdims=True)
-            kcount = jnp.where(modal >= 0, M, 0)  # [1, TB]
+            # Triangular packed NE-counting over predecessors only (SWAR
+            # over i32 lanes; see _modal_pairwise for the field layout and
+            # the reach-max-first identity that replaces the reference's
+            # running CountTable argmax, utils.nim:192-211). Equivalent to
+            # the O(W^2)-compare pairwise form kept in ops/kmer.py's XLA
+            # path, several-fold cheaper: unique sentinels (4^k+row) for
+            # invalid windows, 2 reads per lane (4 for k=3), and only the
+            # strictly-lower triangle of pairs is counted.
+            modal, kcount = _modal_pairwise(wmin, validw, widx, W, TB,
+                                            tot_s, k)
         # decode: modal == -1 behaves as all-ones bits ("G"*k, utils.nim:197)
         modal_eff = jnp.where(modal < 0, (1 << (2 * k)) - 1, modal)
 
@@ -502,7 +495,6 @@ def get_repeat_codes_pallas(bases_T: jnp.ndarray, lengths: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((L // 8 + 2, TILE_B), jnp.int32),  # greedy block bits
             pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne totals
-            pltpu.VMEM((max(1, L // 3), TILE_B // 2), jnp.int32),  # packed ne-after
         ],
         interpret=interpret,
     )(bases_T, lengths.reshape(1, B), te, tp)
