@@ -109,19 +109,21 @@ def bench_kernel(smoke: bool):
     # between slope and device time), not a STATUS footnote.
     reps = 1 if smoke else 3
     rounds = 1 if smoke else 5
-    per_batch = float("inf")
+    slopes = []
     for r in range(rounds):
         if r:
             time.sleep(12)
         t1 = min(run(n1) for _ in range(reps))
         t2 = min(run(n2) for _ in range(reps))
-        per_batch = min(per_batch, max(1e-9, (t2 - t1) / (n2 - n1)))
+        slopes.append(max(1e-9, (t2 - t1) / (n2 - n1)))
+    per_batch = min(slopes)
     dev_ms = _device_time_per_batch(lambda: run(20), 20) if not smoke else None
     rps = B / per_batch
     emit("extract_kmer_scan_reads_per_sec", rps, "reads/s/chip",
          rps / NIM_BASELINE_READS_PER_SEC)
     print(f"# kernel(fused {layout}) device={dev.platform} B={B} L={L} "
-          f"slope={per_batch*1e3:.2f}ms/batch"
+          f"slope_rounds(ms)={'/'.join(f'{s*1e3:.2f}' for s in slopes)} "
+          f"min={per_batch*1e3:.2f}ms/batch"
           + (f" device_time={dev_ms:.2f}ms/batch "
              f"({B/(dev_ms*1e-3)/1e6:.1f}M reads/s device-time cross-check)"
              if dev_ms else " (device-time trace unavailable)"),
@@ -534,9 +536,15 @@ def bench_index(smoke: bool):
     n_windows = (n_mbp * 1_000_000 + 59) // 60
     with tempfile.TemporaryDirectory() as d:
         bed = os.path.join(d, "ref.str.bed")
-        t0 = time.perf_counter()
-        gi = genome_repeats(fasta, opts, bed)
-        dt = time.perf_counter() - t0
+        # min-of-2: the first run may pay a remote compile for the scan
+        # kernel at the index's batch tier (minutes-old kernel changes miss
+        # the persistent cache across processes); the second run measures
+        # the stage
+        dt = float("inf")
+        for _ in range(1 if smoke else 2):
+            t0 = time.perf_counter()
+            gi = genome_repeats(fasta, opts, bed)
+            dt = min(dt, time.perf_counter() - t0)
         n_regions = sum(len(v[0]) for v in gi.by_chrom.values())
     wps = n_windows / dt
     emit("index_windows_per_sec", wps, "windows/s",
