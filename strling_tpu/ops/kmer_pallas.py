@@ -227,7 +227,6 @@ def _kernel(bases_ref, lengths_ref, te_ref, tp_ref, code_out, len_out, cnt_out,
         codes3_src = codes | ((basesi != canon_ascii).astype(jnp.int32) << 2)
         codes_src = codes
         col_pos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    TBH = TB // 2
     # one 6-digit gram per position; every k's posgram is a single shift of
     # it (gram_k[j] = top 3k bits = digits j..j+k-1), and the shared 2-bit
     # rolling encode full2[p] = encode of bases p..p+5, whose top 2k bits
