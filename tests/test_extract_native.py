@@ -265,3 +265,58 @@ def test_prefilter_equivalence(tmp_path):
     ne_off = NativeExtractor(Bam(str(p)), 0.8, 40, 350, prefilter=False)
     rows_off = ne_off._next_fused()[0]
     assert rows_on < rows_off // 2, (rows_on, rows_off)
+
+
+def test_hist_tee_custom_budget_matches_standalone(str_bam):
+    """The engine tee with non-default skip/count budgets must reproduce
+    the standalone pass with the same budgets exactly (early stop, skip
+    window, fallback behavior all live in both implementations)."""
+    import ctypes as C
+
+    from strling_tpu.io.extract_native import NativeExtractor, _lib
+
+    lib = _lib()
+    for skip, n in [(0, 50), (10, 100), (5, 10**6), (10**6, 10**6)]:
+        hist1 = np.zeros(4096, np.uint32)
+        ml1 = C.c_int32(0)
+        bam0 = Bam(str_bam)  # must outlive the call (temporaries GC early)
+        lib.sio_frag_hist(bam0._h, skip, n, hist1, C.byref(ml1))
+
+        bam = Bam(str_bam)
+        ne = NativeExtractor(bam, 0.8, 40, 400)
+        assert lib.sio_ex_set_hist_tee(ne._e, skip, n) == 0
+        # drain the engine (no device in the loop)
+        while True:
+            rows, nrec, payload, layout, ascii_rows = ne._next_fused()
+            if nrec > 0:
+                z = np.zeros(rows, np.int32)
+                lib.sio_ex_feed(ne._e, z, z, z, rows)
+            elif lib.sio_ex_done(ne._e):
+                break
+        assert ne.hist_ready
+        hist2, ml2 = ne.get_hist()
+        np.testing.assert_array_equal(hist1, hist2, err_msg=f"{skip}/{n}")
+        # standalone stops tracking max at its early-stop record; the tee's
+        # max can only be >= over the same prefix — equal when no early stop
+        if n >= 10**6:
+            assert int(ml1.value) == ml2
+
+
+def test_hist_tee_rejected_after_start_and_in_sharded_mode(str_bam):
+    from strling_tpu.io.extract_native import NativeExtractor, _lib
+
+    lib = _lib()
+    ne = NativeExtractor(Bam(str_bam), 0.8, 40, 400)
+    ne._next_fused()  # starts the producer
+    assert lib.sio_ex_set_hist_tee(ne._e, 0, 100) != 0
+    ne2 = NativeExtractor(Bam(str_bam), 0.8, 40, 400)
+    ne2.set_shard(np.array([0], np.int32), True)
+    assert lib.sio_ex_set_hist_tee(ne2._e, 0, 100) != 0
+
+
+def test_extract_native_stats_attribution(str_bam):
+    stats = {}
+    extract_native(Bam(str_bam), None, None, stats=stats)
+    assert stats["n_batches"] >= 1
+    assert stats["h2d_bytes"] > 0 and stats["d2h_bytes"] > 0
+    assert stats["scan_s"] > 0 and stats["wait_s"] >= 0
