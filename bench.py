@@ -68,7 +68,10 @@ def bench_kernel(smoke: bool):
     """Times the PRODUCTION dispatch: the fused single-transfer jit
     (payload u8 in, packed i32 out) that extract actually runs
     (ops/kmer.py scan_payload -> kmer_pallas._pallas_fused_jit)."""
+    from functools import partial
+
     import jax
+    import jax.numpy as jnp
     from strling_tpu.ops.kmer import _fused_xla_jit, fuse_payload
 
     B, L = (4096, 152) if smoke else (32768, 152)
@@ -79,22 +82,38 @@ def bench_kernel(smoke: bool):
     arr = jax.device_put(payload, dev)
 
     if jax.default_backend() == "cpu":
-        fn = _fused_xla_jit
+        base_fn = _fused_xla_jit
     else:
         from strling_tpu.ops.kmer_pallas import _pallas_fused_jit
 
-        fn = _pallas_fused_jit
+        base_fn = _pallas_fused_jit
+
+    # Chained-token variant of the production program: identical kernel
+    # body, plus a scalar token that depends on the output and feeds the
+    # next dispatch — WITHOUT it the iterations are fully independent
+    # programs, and the remote service can overlap/reorder them, collapsing
+    # the chain slope toward zero (observed: a 25-iteration chain finishing
+    # "before" a 5-iteration one). The token forces device-side
+    # serialization at ~zero added work.
+    @partial(jax.jit, static_argnums=(1,))
+    def fn(payload_in, layout_s, token):
+        out = base_fn.__wrapped__(payload_in, layout_s)
+        return out, token + out[0]
+
     # warmup/compile. NOTE: on the tunneled axon platform block_until_ready
     # does not actually wait, so all timing syncs go through a host fetch,
     # and each fetch costs a fixed ~30ms tunnel round trip. Per-batch device
     # time is therefore measured as the slope between a short and a long
-    # pipelined dispatch chain (the fixed latency cancels).
-    np.asarray(fn(arr, layout))
+    # serialized dispatch chain (the fixed latency cancels).
+    tok0 = jax.device_put(jnp.zeros((), jnp.int32), dev)
+    np.asarray(fn(arr, layout, tok0)[1])
 
     def run(iters: int) -> float:
         t0 = time.perf_counter()
-        outs = [fn(arr, layout) for _ in range(iters)]
-        np.asarray(outs[-1])
+        token = tok0
+        for _ in range(iters):
+            out, token = fn(arr, layout, token)
+        np.asarray(token)
         return time.perf_counter() - t0
 
     run(2)  # warm
@@ -539,9 +558,13 @@ def bench_index(smoke: bool):
         # min-of-2: the first run may pay a remote compile for the scan
         # kernel at the index's batch tier (minutes-old kernel changes miss
         # the persistent cache across processes); the second run measures
-        # the stage
+        # the stage. The bed must be REMOVED between reps — genome_repeats
+        # reuses an existing bed (reference behavior, genome_strs.nim:110),
+        # which would otherwise make the second run a file load.
         dt = float("inf")
         for _ in range(1 if smoke else 2):
+            if os.path.exists(bed):
+                os.unlink(bed)
             t0 = time.perf_counter()
             gi = genome_repeats(fasta, opts, bed)
             dt = min(dt, time.perf_counter() - t0)

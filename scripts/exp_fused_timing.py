@@ -18,8 +18,21 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from functools import partial  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
 from strling_tpu.ops.kmer import fuse_payload  # noqa: E402
 from strling_tpu.ops.kmer_pallas import _pallas_fused_jit  # noqa: E402
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _chained(payload, layout, token):
+    """Production kernel body + a token that serializes chained dispatches
+    (independent programs can be overlapped/reordered by the remote
+    service, which collapses chain slopes — see bench.bench_kernel)."""
+    out = _pallas_fused_jit.__wrapped__(payload, layout)
+    return out, token + out[0]
 
 
 def main():
@@ -34,15 +47,19 @@ def main():
     lengths_np = np.full(B, L, np.int32)
     payload, layout = fuse_payload(bases_np, lengths_np, np.full(B, 0.8),
                                    return_layout=True)
-    arr = jax.device_put(payload, jax.devices()[0])
+    dev = jax.devices()[0]
+    arr = jax.device_put(payload, dev)
+    tok0 = jax.device_put(jnp.zeros((), jnp.int32), dev)
     t0 = time.perf_counter()
-    np.asarray(_pallas_fused_jit(arr, layout))
+    np.asarray(_chained(arr, layout, tok0)[1])
     print(f"# compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 
     def run(iters):
         t0 = time.perf_counter()
-        outs = [_pallas_fused_jit(arr, layout) for _ in range(iters)]
-        np.asarray(outs[-1])
+        token = tok0
+        for _ in range(iters):
+            _, token = _chained(arr, layout, token)
+        np.asarray(token)
         return time.perf_counter() - t0
 
     run(2)

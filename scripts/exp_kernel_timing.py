@@ -56,19 +56,29 @@ def main():
     dev = jax.devices()[0]
     args = [jax.device_put(x, dev) for x in (bases_np, lengths_np, te, tp)]
 
+    import jax.numpy as jnp
+
+    tok0 = jax.device_put(jnp.zeros((), jnp.int32), dev)
     results = {}
     for variant in VARIANTS:
-        if jax.default_backend() == "cpu":
-            fn = jax.jit(partial(get_repeat_device_pallas, interpret=True,
-                                 variant=variant))
-        else:
-            fn = jax.jit(partial(get_repeat_device_pallas, variant=variant))
-        np.asarray(fn(*args)[2])
+        base = partial(get_repeat_device_pallas, variant=variant,
+                       interpret=jax.default_backend() == "cpu")
+
+        # token serializes chained dispatches (independent programs can be
+        # overlapped by the remote service — see bench.bench_kernel)
+        @jax.jit
+        def fn(b, l, te, tp, token, base=base):
+            code, klen, cnt = base(b, l, te, tp)
+            return cnt, token + cnt[0]
+
+        np.asarray(fn(*args, tok0)[0])
 
         def run(iters):
             t0 = time.perf_counter()
-            outs = [fn(*args) for _ in range(iters)]
-            np.asarray(outs[-1][2])
+            token = tok0
+            for _ in range(iters):
+                _, token = fn(*args, token)
+            np.asarray(token)
             return time.perf_counter() - t0
 
         run(2)
