@@ -155,14 +155,34 @@ def _modal_pairwise(wmin, validw, widx, W, TB, tot_s, k):
     for f in range(1, nf):
         pw = pw | (parts[f] << (f * fb))
     tot_s[:W, :TBF] = jnp.zeros((W, TBF), jnp.int32)
-    for i in range(W - 1):
-        row = jax.lax.slice(pw, (i, 0), (i + 1, TBF))
-        rest = jax.lax.slice(pw, (i + 1, 0), (W, TBF))
-        t = (rest ^ row) + addc
+    # 4-row blocking: the four rows of a block share ONE read-modify-write
+    # of the accumulator over their common tail [iend, W) (the per-field
+    # block sum is <= 4, far below the field headroom), and the block's
+    # internal strictly-lower pairs are a handful of single-row ops — ~40%
+    # fewer passes over the O(W^2) triangle than the row-at-a-time loop
+    BLK = 4
+    i0 = 0
+    while i0 < W - 1:
+        iend = min(i0 + BLK, W - 1)
+        nb = iend - i0
+        rows = [jax.lax.slice(pw, (a, 0), (a + 1, TBF))
+                for a in range(i0, iend)]
         # arithmetic shift sign-fill only touches bits above the highest
         # mask bit (f_max*fb), so the & keeps exactly the per-field ne flags
-        nep = (t >> (fb - 1)) & nemask
-        tot_s[i + 1:W, :TBF] = tot_s[i + 1:W, :TBF] + nep
+        for bi in range(1, nb):
+            acc = None
+            for ai in range(bi):
+                nepp = (((rows[bi] ^ rows[ai]) + addc) >> (fb - 1)) & nemask
+                acc = nepp if acc is None else acc + nepp
+            tot_s[i0 + bi:i0 + bi + 1, :TBF] = (
+                tot_s[i0 + bi:i0 + bi + 1, :TBF] + acc)
+        rest = jax.lax.slice(pw, (iend, 0), (W, TBF))
+        acc = None
+        for ai in range(nb):
+            nepp = (((rest ^ rows[ai]) + addc) >> (fb - 1)) & nemask
+            acc = nepp if acc is None else acc + nepp
+        tot_s[iend:W, :TBF] = tot_s[iend:W, :TBF] + acc
+        i0 = iend
     tot_p = tot_s[:W, :TBF]
     fm = (1 << fb) - 1
     ne_before = jnp.concatenate(
