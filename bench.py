@@ -268,7 +268,12 @@ def bench_extract_e2e(smoke: bool):
     path = _bench_bam(n_pairs)
     best = 0.0
     best_line = ""
-    for _ in range(1 if smoke else 3):
+    # best-of-5 spaced runs: the stage is HOST-bound on the shared 2-core
+    # VM (device_wait ~0 in the attribution) and single-run numbers swing
+    # ~25% with co-tenant bursts
+    for r in range(1 if smoke else 5):
+        if r:
+            time.sleep(3)
         bam = Bam(path)
         stats = {}
         t0 = time.perf_counter()
