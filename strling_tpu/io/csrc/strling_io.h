@@ -219,6 +219,7 @@ struct BgzfReader {
   int ulen = 0;
   int upos = 0;
   int64_t block_addr = 0;  // compressed offset of current block
+  bool have_block = false;  // ubuf holds the decoded block at block_addr
   int64_t next_addr = 0;   // compressed offset of next block
   bool eof = false;
   std::string err;
@@ -277,6 +278,7 @@ struct BgzfReader {
         next_addr = b.next_addr;
         if (ulen == 0) return load_block(next_addr);  // empty/EOF-marker block
         memcpy(ubuf, b.data.get(), ulen);
+        have_block = true;
         return true;
       }
     }
@@ -287,7 +289,10 @@ struct BgzfReader {
     if (fseeko(fp, addr, SEEK_SET) != 0) { err = "seek failed"; return false; }
     uint8_t hdr[18];
     size_t n = fread(hdr, 1, 18, fp);
-    if (n == 0) { eof = true; ulen = upos = 0; block_addr = addr; return true; }
+    if (n == 0) {
+      eof = true; ulen = upos = 0; block_addr = addr; have_block = false;
+      return true;
+    }
     if (n < 18 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
       err = "bad BGZF block header"; return false;
     }
@@ -335,6 +340,7 @@ struct BgzfReader {
     ulen = (int)isize;
     upos = 0;
     block_addr = addr;
+    have_block = true;
     next_addr = addr + bsize;
     if (ulen == 0) {
       // could be the EOF marker block or an empty block mid-file; peek on
@@ -358,6 +364,15 @@ struct BgzfReader {
     int64_t addr = voff >> 16;
     int off = voff & 0xffff;
     eof = false;
+    // current-block fast path: successive region queries frequently land in
+    // the block already decoded (file-adjacent loci share BGZF blocks —
+    // the per-locus support collection is the hot caller), so skip the
+    // seek + re-inflate when the target block is resident
+    if (!mt && have_block && addr == block_addr && ulen > 0) {
+      if (off > ulen) { err = "virtual offset beyond block"; return false; }
+      upos = off;
+      return true;
+    }
     if (!load_block(addr)) return false;
     if (off > ulen) { err = "virtual offset beyond block"; return false; }
     upos = off;
