@@ -25,6 +25,10 @@
 #include <thread>
 #include <unordered_map>
 
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__)
+#include <immintrin.h>
+#endif
+
 // exact reference-detector scan (genome_scan.cc): the producer's
 // second-stage row filter — byte-faithful to ops/oracle.py get_repeat and
 // therefore to the device kernel (fuzz-tested there)
@@ -359,7 +363,75 @@ struct Engine {
     }
   };
 
-  static int max_dimer_count_nib(const uint8_t* seq4, int len) {
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__)
+  // Vectorized dimer histogram straight off the packed 4-bit sequence:
+  // 64 nibble-bytes (128 bases) per iteration. Per chunk: two 16-entry
+  // pshufb LUTs decode the hi/lo 2-bit base codes, the cross-byte
+  // predecessor comes from a full-width byte permute (VBMI), and each of
+  // the 16 dimer values is counted with a masked byte-compare whose
+  // 64-bit mask register popcounts in one scalar op. The per-chunk
+  // byte-0 cross dimer (carry from the previous chunk) is handled
+  // scalarly. Exact same counts as the scalar loop (test hook
+  // sio_max_dimer_nib fuzzes them against each other).
+  static int max_dimer_count_nib_simd(const uint8_t* seq4, int len) {
+    static const NibLut T;
+    alignas(16) uint8_t code4[16];
+    for (int i = 0; i < 16; i++) code4[i] = T.lo[i];  // lo[b&15] == code of nib
+    const __m512i lut =
+        _mm512_broadcast_i32x4(_mm_load_si128((const __m128i*)code4));
+    const __m512i m0f = _mm512_set1_epi8(0x0f);
+    alignas(64) uint8_t shift_idx[64];
+    shift_idx[0] = 0;
+    for (int i = 1; i < 64; i++) shift_idx[i] = (uint8_t)(i - 1);
+    const __m512i idxshift = _mm512_load_si512((const void*)shift_idx);
+    const int n_bytes = (len + 1) / 2;
+    const int n_in = len / 2;          // in-byte dimer at gb needs 2gb+1 < len
+    const int n_cross = (len + 1) / 2; // cross dimer at gb needs 2gb < len
+    int cnt[16] = {0};
+    int carry = -1;  // lo-code of the previous byte (cross-dimer first base)
+    for (int off = 0; off < n_bytes; off += 64) {
+      const int rem = n_bytes - off;
+      const __mmask64 mload =
+          rem >= 64 ? ~0ULL : ((1ULL << rem) - 1);
+      const __m512i v = _mm512_maskz_loadu_epi8(mload, seq4 + off);
+      const __m512i ch =
+          _mm512_shuffle_epi8(lut, _mm512_and_si512(_mm512_srli_epi16(v, 4), m0f));
+      const __m512i cl = _mm512_shuffle_epi8(lut, _mm512_and_si512(v, m0f));
+      // codes <= 3, so the <<2 stays inside each byte
+      const __m512i din =
+          _mm512_or_si512(_mm512_slli_epi16(ch, 2) , cl);
+      const __m512i pl = _mm512_permutexvar_epi8(idxshift, cl);
+      const __m512i dcross = _mm512_or_si512(_mm512_slli_epi16(pl, 2), ch);
+      const int in_rem = n_in - off;      // valid in-dimer bytes this chunk
+      const int cr_rem = n_cross - off;   // valid cross-dimer bytes (gb>=1)
+      const __mmask64 min_m =
+          in_rem <= 0 ? 0 : (in_rem >= 64 ? ~0ULL : ((1ULL << in_rem) - 1));
+      __mmask64 mcr_m =
+          cr_rem <= 0 ? 0 : (cr_rem >= 64 ? ~0ULL : ((1ULL << cr_rem) - 1));
+      mcr_m &= ~1ULL;  // local byte 0 pairs with the previous chunk: scalar
+      if (min_m | mcr_m) {
+        for (int val = 0; val < 16; val++) {
+          const __m512i bv = _mm512_set1_epi8((char)val);
+          cnt[val] += (int)__builtin_popcountll(
+              _mm512_mask_cmpeq_epi8_mask(min_m, din, bv));
+          cnt[val] += (int)__builtin_popcountll(
+              _mm512_mask_cmpeq_epi8_mask(mcr_m, dcross, bv));
+        }
+      }
+      // scalar carry dimer: (prev chunk's last lo-code, this chunk's first
+      // hi-code) at global byte `off`
+      if (carry >= 0 && off < n_cross)
+        cnt[(carry << 2) | T.hi[seq4[off]]]++;
+      const int last = std::min(off + 63, n_bytes - 1);
+      carry = (2 * last + 1 < len) ? T.lo[seq4[last]] : -1;
+    }
+    int mx = 0;
+    for (int v : cnt) mx = std::max(mx, v);
+    return mx;
+  }
+#endif
+
+  static int max_dimer_count_nib_scalar(const uint8_t* seq4, int len) {
     static const NibLut T;
     int cnt[16] = {0};
     int prev = -1;
@@ -375,6 +447,14 @@ struct Engine {
     int mx = 0;
     for (int v : cnt) mx = std::max(mx, v);
     return mx;
+  }
+
+  static int max_dimer_count_nib(const uint8_t* seq4, int len) {
+#if defined(__AVX512BW__) && defined(__AVX512VBMI__)
+    return max_dimer_count_nib_simd(seq4, len);
+#else
+    return max_dimer_count_nib_scalar(seq4, len);
+#endif
   }
 
   bool provably_zero_nib(const uint8_t* seq4, int len, double prop) const {
@@ -1252,6 +1332,14 @@ int64_t sio_genome_prefilter(const uint8_t* seq, int64_t L, int64_t window,
 
 // Native fragment-length histogram pre-pass (utils.nim:86-111).
 // Also reports the max read length seen (for adaptive transfer width).
+// test hook: the packed-nibble dimer bound, SIMD (force_scalar=0, when
+// compiled in) vs the scalar reference (force_scalar=1) — fuzzed against
+// each other in tests/test_extract_native.py
+int sio_max_dimer_nib(const uint8_t* seq4, int len, int force_scalar) {
+  if (force_scalar) return Engine::max_dimer_count_nib_scalar(seq4, len);
+  return Engine::max_dimer_count_nib(seq4, len);
+}
+
 int sio_frag_hist(void* bam_handle, int64_t skip_reads, int64_t n_reads,
                   uint32_t* hist /*4096*/, int32_t* max_read_len) {
   auto* h = (sio::Handle*)bam_handle;

@@ -320,3 +320,28 @@ def test_extract_native_stats_attribution(str_bam):
     assert stats["n_batches"] >= 1
     assert stats["h2d_bytes"] > 0 and stats["d2h_bytes"] > 0
     assert stats["scan_s"] > 0 and stats["wait_s"] >= 0
+
+
+def test_dimer_bound_simd_matches_scalar():
+    """The vectorized packed-nibble dimer bound (when compiled in) must
+    equal the scalar reference exactly — random bytes, repeated patterns,
+    odd/even lengths, chunk boundaries (len 127/128/129 bases)."""
+    import ctypes as C
+
+    from strling_tpu.io.bam import _load
+
+    lib = _load()
+    lib.sio_max_dimer_nib.restype = C.c_int
+    lib.sio_max_dimer_nib.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8), C.c_int, C.c_int]
+    rng = np.random.default_rng(42)
+    lens = ([int(x) for x in rng.integers(1, 300, 400)]
+            + [1, 2, 3, 126, 127, 128, 129, 130, 255, 256, 257])
+    for ln in lens:
+        nb = (ln + 1) // 2
+        for seq4 in (rng.integers(0, 256, nb, dtype=np.uint8),
+                     np.full(nb, int(rng.integers(0, 256)), np.uint8)):
+            seq4 = np.ascontiguousarray(seq4)
+            a = lib.sio_max_dimer_nib(seq4, ln, 0)
+            b = lib.sio_max_dimer_nib(seq4, ln, 1)
+            assert a == b, (ln, a, b)
