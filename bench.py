@@ -126,14 +126,15 @@ def bench_kernel(smoke: bool):
     # CROSS-CHECKED by a profiler-trace device-time measurement emitted
     # alongside — chip-load variance is then a recorded quantity (the gap
     # between slope and device time), not a STATUS footnote.
-    # six rounds spaced 30s: co-tenant load persists for minutes, so the
-    # samples must span a few minutes to have a shot at a quiet window
+    # six rounds spaced 20s: co-tenant load persists for minutes, so the
+    # samples must span a couple of minutes to have a shot at a quiet
+    # window (without pushing the whole bench past driver patience)
     reps = 1 if smoke else 3
     rounds = 1 if smoke else 6
     slopes = []
     for r in range(rounds):
         if r:
-            time.sleep(30)
+            time.sleep(20)
         t1 = min(run(n1) for _ in range(reps))
         t2 = min(run(n2) for _ in range(reps))
         slopes.append(max(1e-9, (t2 - t1) / (n2 - n1)))
